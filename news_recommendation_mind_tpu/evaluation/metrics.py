@@ -1,0 +1,160 @@
+"""Impression-grouped ranking metrics.
+
+Semantic parity with the reference metric stack
+(reference utils/Manager.py:1205-1345): per-impression AUC / MRR / nDCG@k /
+hit@k averaged over impressions, plus acc / f1 / logloss / rmse, and the
+`impr_index` grouping helper (reference utils/utils.py:60-80). All metrics
+are pure numpy — they run on host after scores are gathered from the
+device(s); no sklearn dependency (AUC uses the exact Mann-Whitney rank
+statistic, which equals `roc_auc_score` for binary labels including ties).
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Iterable, List, Sequence
+
+import numpy as np
+
+
+def _average_rank(x: np.ndarray) -> np.ndarray:
+    """Average ranks (1-based) with ties sharing the mean rank."""
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=np.float64)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+            j += 1
+        ranks[order[i:j + 1]] = 0.5 * (i + j) + 1.0
+        i = j + 1
+    return ranks
+
+
+def auc_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """Binary ROC-AUC via the rank statistic (== sklearn.roc_auc_score)."""
+    y_true = np.asarray(y_true, dtype=np.float64)
+    y_score = np.asarray(y_score, dtype=np.float64)
+    pos = y_true > 0
+    n_pos = int(pos.sum())
+    n_neg = int(len(y_true) - n_pos)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("AUC undefined: impression has a single class")
+    ranks = _average_rank(y_score)
+    return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg))
+
+
+def mrr_score(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """MRR over all positives (reference utils/Manager.py:1205-1223)."""
+    y_true = np.asarray(y_true, dtype=np.float64)
+    order = np.argsort(y_score)[::-1]
+    y_sorted = np.take(y_true, order)
+    rr = y_sorted / (np.arange(len(y_sorted)) + 1)
+    return float(np.sum(rr) / np.sum(y_sorted))
+
+
+def dcg_score(y_true: np.ndarray, y_score: np.ndarray, k: int = 10) -> float:
+    """DCG@k with 2^rel-1 gains (reference utils/Manager.py:1258-1273)."""
+    y_true = np.asarray(y_true, dtype=np.float64)
+    k = min(np.shape(y_true)[-1], k)
+    order = np.argsort(y_score)[::-1]
+    y_top = np.take(y_true, order[:k])
+    gains = 2 ** y_top - 1
+    discounts = np.log2(np.arange(len(y_top)) + 2)
+    return float(np.sum(gains / discounts))
+
+
+def ndcg_score(y_true: np.ndarray, y_score: np.ndarray, k: int = 10) -> float:
+    """nDCG@k (reference utils/Manager.py:1225-1237)."""
+    best = dcg_score(y_true, y_true, k)
+    actual = dcg_score(y_true, y_score, k)
+    return float(actual / best)
+
+
+def hit_score(y_true: np.ndarray, y_score: np.ndarray, k: int = 10) -> int:
+    """hit@k: 1 iff any positive in top-k (reference utils/Manager.py:1240-1255)."""
+    y_true = np.asarray(y_true)
+    ground_truth = np.where(y_true == 1)[0]
+    top = np.argsort(y_score)[::-1][:k]
+    return int(bool(np.intersect1d(top, ground_truth).size))
+
+
+def group_lists(impr_indexes: Sequence[int],
+                *associated: Sequence[Sequence]) -> List[List[list]]:
+    """Group per-chunk prediction/label lists by impression id.
+
+    Eval emits impression *chunks* (an impression may be split across
+    impr_size-sized pieces and across hosts); this re-joins them in
+    first-seen order (reference utils/utils.py:60-80).
+    """
+    dicts = [defaultdict(list) for _ in associated]
+    for row in zip(impr_indexes, *associated):
+        key = row[0]
+        for d, values in zip(dicts, row[1:]):
+            d[key].extend(values)
+    return [list(d.values()) for d in dicts]
+
+
+def cal_metric(labels: Iterable[np.ndarray], preds: Iterable[np.ndarray],
+               metrics: Sequence[str]) -> Dict[str, float]:
+    """Compute the requested metrics over grouped impressions.
+
+    Mirrors the reference's dispatch exactly, including the `ndcg@5;10` /
+    `hit@k;k` syntax and 4-decimal rounding
+    (reference utils/Manager.py:1276-1345).
+    """
+    labels = list(labels)
+    preds = list(preds)
+    res: Dict[str, float] = {}
+    for metric in metrics:
+        if metric == "auc":
+            res["auc"] = round(float(np.mean(
+                [auc_score(l, p) for l, p in zip(labels, preds)])), 4)
+        elif metric == "mean_mrr":
+            res["mean_mrr"] = round(float(np.mean(
+                [mrr_score(l, p) for l, p in zip(labels, preds)])), 4)
+        elif metric == "rmse":
+            flat_l = np.concatenate([np.asarray(l).ravel() for l in labels])
+            flat_p = np.concatenate([np.asarray(p).ravel() for p in preds])
+            res["rmse"] = float(np.sqrt(round(
+                float(np.mean((flat_l - flat_p) ** 2)), 4)))
+        elif metric == "logloss":
+            flat_l = np.concatenate([np.asarray(l).ravel() for l in labels])
+            flat_p = np.clip(
+                np.concatenate([np.asarray(p).ravel() for p in preds]),
+                1e-11, 1.0 - 1e-11)
+            ll = -np.mean(flat_l * np.log(flat_p)
+                          + (1 - flat_l) * np.log(1 - flat_p))
+            res["logloss"] = round(float(ll), 4)
+        elif metric == "acc":
+            flat_l = np.concatenate([np.asarray(l).ravel() for l in labels])
+            flat_p = (np.concatenate(
+                [np.asarray(p).ravel() for p in preds]) >= 0.5)
+            res["acc"] = round(float(np.mean(flat_l == flat_p)), 4)
+        elif metric == "f1":
+            flat_l = np.concatenate([np.asarray(l).ravel() for l in labels])
+            flat_p = (np.concatenate(
+                [np.asarray(p).ravel() for p in preds]) >= 0.5).astype(float)
+            tp = float(np.sum((flat_l == 1) & (flat_p == 1)))
+            fp = float(np.sum((flat_l == 0) & (flat_p == 1)))
+            fn = float(np.sum((flat_l == 1) & (flat_p == 0)))
+            f1 = 2 * tp / max(2 * tp + fp + fn, 1e-12)
+            res["f1"] = round(f1, 4)
+        elif metric.startswith("ndcg"):
+            ks = metric.split("@")
+            k_list = [int(t) for t in ks[1].split(";")] if len(ks) > 1 else [1, 2]
+            for k in k_list:
+                v = float(np.mean(
+                    [ndcg_score(l, p, k) for l, p in zip(labels, preds)]))
+                res[f"ndcg@{k}"] = round(v, 4)
+        elif metric.startswith("hit"):
+            ks = metric.split("@")
+            k_list = [int(t) for t in ks[1].split(";")] if len(ks) > 1 else [1, 2]
+            for k in k_list:
+                v = float(np.mean(
+                    [hit_score(l, p, k) for l, p in zip(labels, preds)]))
+                res[f"hit@{k}"] = round(v, 4)
+        else:
+            raise ValueError(f"unknown metric {metric}")
+    return res

@@ -1,0 +1,51 @@
+from news_recommendation_mind_tpu.config import (
+    Config, config_from_object, parse_config,
+)
+
+
+def test_defaults_match_reference():
+    # reference utils/Manager.py:44-106 defaults
+    c = Config()
+    assert c.cdd_size == 5
+    assert c.his_size == 50
+    assert c.signal_length == 30
+    assert c.impr_size == 2000
+    assert c.hidden_dim == 150
+    assert c.bert_dim == 768
+    assert c.lr == 1e-4 and c.bert_lr == 6e-6
+    assert c.seed == 42
+    assert c.metric_list == ["auc", "mean_mrr", "ndcg@5;10"]
+
+
+def test_derived_names():
+    assert Config().name == "twotower__cnn__lstm"
+    assert Config(model="plm", bert="bert", encoderU="attn").name == \
+        "plm__bert__attn"
+    assert Config(model="xformer", bert="longformer").name == \
+        "xformer__longformer"
+
+
+def test_cli_overrides():
+    c = parse_config(["-s", "small", "-m", "dev", "-bs", "64",
+                      "--encoderN", "mha", "--no-fast"])
+    assert c.scale == "small" and c.mode == "dev"
+    assert c.batch_size == 64
+    assert c.encoderN == "mha"
+    assert c.fast is False
+
+
+def test_config_from_object():
+    class Obj:
+        def __init__(self):
+            self.scale = "large"
+            self.hidden_dim = 256
+            self.unrelated = "x"
+    c = config_from_object(Obj())
+    assert c.scale == "large" and c.hidden_dim == 256
+
+
+def test_paths():
+    c = Config(mode="dev")
+    assert c.news_repr_path().endswith(
+        "tensors/twotower__cnn__lstm/demo/dev/news.npy")
+    assert c.result_dir(7).endswith("twotower__cnn__lstm/demo_step7")

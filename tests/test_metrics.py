@@ -1,0 +1,95 @@
+"""Metric parity tests against independent implementations.
+
+The metric math must match the reference formulas exactly
+(reference utils/Manager.py:1205-1345); AUC is checked against sklearn when
+available and against hand-computed values otherwise.
+"""
+import numpy as np
+import pytest
+
+from news_recommendation_mind_tpu.evaluation import (
+    auc_score, cal_metric, group_lists, hit_score, mrr_score, ndcg_score,
+)
+
+
+def test_auc_simple():
+    y = np.array([1, 0, 0, 0])
+    s = np.array([0.9, 0.1, 0.2, 0.3])
+    assert auc_score(y, s) == 1.0
+    s_bad = np.array([0.0, 0.5, 0.6, 0.7])
+    assert auc_score(y, s_bad) == 0.0
+
+
+def test_auc_ties():
+    y = np.array([1, 0])
+    s = np.array([0.5, 0.5])
+    assert auc_score(y, s) == 0.5
+
+
+def test_auc_matches_sklearn():
+    sklearn = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        n = int(rng.integers(3, 40))
+        y = rng.integers(0, 2, n)
+        if y.sum() == 0 or y.sum() == n:
+            continue
+        s = np.round(rng.random(n), 2)  # induce ties
+        assert auc_score(y, s) == pytest.approx(
+            sklearn.roc_auc_score(y, s), abs=1e-12)
+
+
+def test_mrr():
+    # positive ranked 2nd among 4 -> 1/2
+    y = np.array([0, 1, 0, 0])
+    s = np.array([0.9, 0.8, 0.1, 0.2])
+    assert mrr_score(y, s) == pytest.approx(0.5)
+    # two positives at ranks 1 and 3 -> (1 + 1/3)/2
+    y = np.array([1, 0, 1])
+    s = np.array([0.9, 0.8, 0.7])
+    assert mrr_score(y, s) == pytest.approx((1 + 1 / 3) / 2)
+
+
+def test_ndcg():
+    y = np.array([1, 0, 0])
+    s_perfect = np.array([0.9, 0.5, 0.1])
+    assert ndcg_score(y, s_perfect, 5) == pytest.approx(1.0)
+    s_second = np.array([0.5, 0.9, 0.1])
+    # dcg = 1/log2(3), ideal = 1/log2(2)
+    assert ndcg_score(y, s_second, 5) == pytest.approx(1 / np.log2(3))
+
+
+def test_hit():
+    y = np.array([0, 0, 1, 0])
+    s = np.array([0.9, 0.8, 0.7, 0.1])
+    assert hit_score(y, s, 2) == 0
+    assert hit_score(y, s, 3) == 1
+
+
+def test_group_lists():
+    impr = [3, 1, 3]
+    labels = [[1, 0], [0, 1], [0, 0]]
+    preds = [[0.9, 0.1], [0.2, 0.8], [0.3, 0.4]]
+    gl, gp = group_lists(impr, labels, preds)
+    assert gl == [[1, 0, 0, 0], [0, 1]]
+    assert gp == [[0.9, 0.1, 0.3, 0.4], [0.2, 0.8]]
+
+
+def test_cal_metric_dispatch():
+    labels = [np.array([1, 0, 0]), np.array([0, 1])]
+    preds = [np.array([0.9, 0.1, 0.2]), np.array([0.3, 0.7])]
+    res = cal_metric(labels, preds, ["auc", "mean_mrr", "ndcg@5;10", "hit@1"])
+    assert res["auc"] == 1.0
+    assert res["mean_mrr"] == 1.0
+    assert res["ndcg@5"] == 1.0
+    assert res["ndcg@10"] == 1.0
+    assert res["hit@1"] == 1.0
+    with pytest.raises(ValueError):
+        cal_metric(labels, preds, ["nope"])
+
+
+def test_cal_metric_rounding():
+    labels = [np.array([1, 0, 0])]
+    preds = [np.array([0.1, 0.9, 0.05])]
+    res = cal_metric(labels, preds, ["auc"])
+    assert res["auc"] == 0.5
