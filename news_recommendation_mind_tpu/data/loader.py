@@ -1,0 +1,334 @@
+"""Host-side streaming batchers with fixed shapes and device prefetch.
+
+Replaces the reference's torch DataLoader + worker __getitem__ pipeline
+(reference utils/MIND.py:278-553, utils/Manager.py:183-286) with pure-numpy
+batch assembly designed for XLA: every batch a loader emits has a *static*
+shape, so each loader compiles exactly one executable.
+
+- ``TrainLoader``  — per-step in-impression negative sampling
+  (reference utils/utils.py:83-98 `newsample`), history truncate/pad to
+  ``his_size``, candidate position shuffle, epoch shuffling with per-epoch
+  reseed (the reference's DistributedSampler.set_epoch,
+  utils/Manager.py:630-631), and sharding across processes.
+- ``NewsLoader``   — all-news sweep for fast-eval encoding
+  (reference utils/MIND.py:453-490 MIND_news).
+- ``EvalLoader``   — impression chunks padded to a fixed candidate width
+  with masks (TPU-friendly replacement for the reference's bs=1 dynamic
+  candidate counts), contiguous per-process partition like
+  Partition_Sampler (reference utils/utils.py:267-283).
+- ``HistoryLoader``— user-history sweep for the `encode` benchmark mode
+  (reference utils/MIND.py:494-553 MIND_history).
+- ``prefetch_to_device`` — double-buffered host→device transfer.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .cache import Behaviors, NewsCache
+
+
+Batch = Dict[str, np.ndarray]
+
+
+def _pad_histories(behaviors: Behaviors, his_size: int, descend: bool):
+    """Vectorized history truncate/pad: returns ids [n, his_size] int32 and
+    mask [n, his_size] float32 (empty history gets mask[0]=1, matching
+    reference utils/MIND.py:333-336)."""
+    n = len(behaviors)
+    ids = np.zeros((n, his_size), dtype=np.int32)
+    mask = np.zeros((n, his_size), dtype=np.float32)
+    offs = behaviors.his_offsets
+    for i in range(n):
+        h = behaviors.his_flat[offs[i]:offs[i + 1]][:his_size]
+        k = len(h)
+        if descend:
+            ids[i, :k] = h[::-1]
+        else:
+            ids[i, :k] = h
+        mask[i, :max(k, 1)] = 1.0
+    return ids, mask
+
+
+class TrainLoader:
+    """Iterable over fixed-shape training batches.
+
+    Batch keys (the L3<->L2 contract, reference utils/MIND.py:352-363):
+      user_id [bs], cdd_id [bs,cdd], his_id [bs,his],
+      cdd_token/cdd_attn [bs,cdd,sl], his_token/his_attn [bs,his,sl],
+      cdd_mask [bs,cdd], his_mask [bs,his], label [bs].
+    """
+
+    def __init__(self, news: NewsCache, behaviors: Behaviors, *,
+                 batch_size: int, npratio: int, his_size: int,
+                 signal_length: int, shuffle_pos: bool = False,
+                 descend_history: bool = False, seed: int = 42,
+                 num_shards: int = 1, shard_index: int = 0,
+                 drop_last: bool = True):
+        assert behaviors.mode == "train"
+        self.news_tokens, self.news_attn = news.truncated(signal_length)
+        self.news_attn = self.news_attn.astype(np.float32)
+        self.b = behaviors
+        self.batch_size = batch_size
+        self.npratio = npratio
+        self.cdd_size = npratio + 1
+        self.shuffle_pos = shuffle_pos
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.drop_last = drop_last
+        self.his_ids, self.his_mask = _pad_histories(
+            behaviors, his_size, descend_history)
+        self.n = len(behaviors)
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        per_shard = self.n // self.num_shards if self.drop_last else \
+            math.ceil(self.n / self.num_shards)
+        return per_shard // self.batch_size if self.drop_last else \
+            math.ceil(per_shard / self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _sample_negatives(self, idx: np.ndarray,
+                          rng: np.random.Generator) -> tuple:
+        """newsample semantics: without replacement, zero-pad short pools
+        (reference utils/utils.py:83-98). Returns (neg_ids [bs,npratio],
+        neg_num [bs])."""
+        bs = len(idx)
+        neg = np.zeros((bs, self.npratio), dtype=np.int32)
+        neg_num = np.zeros(bs, dtype=np.int32)
+        offs = self.b.neg_offsets
+        flat = self.b.neg_flat
+        for i, s in enumerate(idx):
+            pool = flat[offs[s]:offs[s + 1]]
+            k = len(pool)
+            if k <= self.npratio:
+                neg[i, :k] = pool
+                neg_num[i] = k
+            else:
+                pick = rng.choice(k, size=self.npratio, replace=False)
+                neg[i] = pool[pick]
+                neg_num[i] = self.npratio
+        return neg, neg_num
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.default_rng(self.seed + 1000 * self.epoch)
+        order = rng.permutation(self.n)
+        order = order[self.shard_index::self.num_shards]
+        nb = len(order) // self.batch_size if self.drop_last else \
+            math.ceil(len(order) / self.batch_size)
+        for bi in range(nb):
+            idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+            yield self._make_batch(idx, rng)
+
+    def _make_batch(self, idx: np.ndarray, rng: np.random.Generator) -> Batch:
+        bs = len(idx)
+        neg, neg_num = self._sample_negatives(idx, rng)
+        cdd_ids = np.concatenate(
+            [self.b.pos[idx, None], neg], axis=1)          # [bs, cdd]
+        label = np.zeros(bs, dtype=np.int32)               # positive at col 0
+        cdd_mask = (np.arange(self.cdd_size)[None, :]
+                    <= neg_num[:, None]).astype(np.float32)
+        if self.shuffle_pos:
+            # per-row candidate permutation; label follows the positive
+            perm = np.argsort(rng.random((bs, self.cdd_size)), axis=1)
+            rows = np.arange(bs)[:, None]
+            cdd_ids = cdd_ids[rows, perm]
+            cdd_mask = cdd_mask[rows, perm]
+            label = np.argmax(perm == 0, axis=1).astype(np.int32)
+        his_ids = self.his_ids[idx]
+        return {
+            "user_id": self.b.uindex[idx],
+            "cdd_id": cdd_ids,
+            "his_id": his_ids,
+            "cdd_token": self.news_tokens[cdd_ids],
+            "cdd_attn": self.news_attn[cdd_ids],
+            "his_token": self.news_tokens[his_ids],
+            "his_attn": self.news_attn[his_ids],
+            "cdd_mask": cdd_mask,
+            "his_mask": self.his_mask[idx],
+            "label": label,
+        }
+
+
+class NewsLoader:
+    """Fixed-shape sweep over the whole news table (row 0 included).
+
+    Emits {news_id [bs], token [bs,sl], attn [bs,sl], valid [bs]}; the last
+    batch is padded with row 0 and masked via `valid`.
+    """
+
+    def __init__(self, news: NewsCache, *, batch_size: int,
+                 signal_length: int):
+        self.tokens, self.attn = news.truncated(signal_length)
+        self.attn = self.attn.astype(np.float32)
+        self.batch_size = batch_size
+        self.n = self.tokens.shape[0]
+
+    def __len__(self) -> int:
+        return math.ceil(self.n / self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        for s in range(0, self.n, self.batch_size):
+            ids = np.arange(s, min(s + self.batch_size, self.n), dtype=np.int32)
+            pad = self.batch_size - len(ids)
+            valid = np.concatenate([np.ones(len(ids), np.float32),
+                                    np.zeros(pad, np.float32)])
+            ids = np.concatenate([ids, np.zeros(pad, np.int32)])
+            yield {"news_id": ids, "token": self.tokens[ids],
+                   "attn": self.attn[ids], "valid": valid}
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class EvalLoader:
+    """Impression-chunk batches padded to bucketed candidate widths.
+
+    The reference evaluates bs=1 with dynamic candidate counts
+    (reference utils/Manager.py:514-517); on TPU dynamic shapes force
+    recompiles, so chunks are grouped into candidate-count *buckets* and
+    padded — each (bucket, batch) shape compiles once. Chunks are
+    partitioned contiguously across processes like Partition_Sampler
+    (reference utils/utils.py:267-283).
+
+    Emits {impr_index [bs], user_id [bs], cdd_id [bs,W], cdd_mask [bs,W],
+    his_id [bs,his], his_token/his_attn, his_mask, label [bs,W] (dev),
+    valid [bs]} per batch, where W is the bucket width.
+    """
+
+    def __init__(self, news: NewsCache, behaviors: Behaviors, *,
+                 batch_size: int, his_size: int, signal_length: int,
+                 buckets: Sequence[int] = (20, 50, 100, 200, 300, 500),
+                 descend_history: bool = False,
+                 num_shards: int = 1, shard_index: int = 0,
+                 impr_size: int = 2000):
+        assert behaviors.mode in ("dev", "test")
+        self.news_tokens, self.news_attn = news.truncated(signal_length)
+        self.news_attn = self.news_attn.astype(np.float32)
+        self.b = behaviors
+        self.batch_size = batch_size
+        self.buckets = sorted(set(list(buckets) + [impr_size]))
+        self.his_ids, self.his_mask = _pad_histories(
+            behaviors, his_size, descend_history)
+        # contiguous per-process partition
+        n = len(behaviors)
+        per = math.ceil(n / num_shards)
+        self.chunk_ids = np.arange(shard_index * per,
+                                   min((shard_index + 1) * per, n))
+        # group chunks by bucket
+        widths = np.diff(behaviors.cdd_offsets)
+        self.groups: Dict[int, List[int]] = {}
+        for j in self.chunk_ids:
+            w = _bucket_for(int(widths[j]), self.buckets)
+            self.groups.setdefault(w, []).append(int(j))
+
+    def __len__(self) -> int:
+        return sum(math.ceil(len(g) / self.batch_size)
+                   for g in self.groups.values())
+
+    def __iter__(self) -> Iterator[Batch]:
+        has_labels = self.b.labels_flat is not None
+        for width, chunk_list in sorted(self.groups.items()):
+            for s in range(0, len(chunk_list), self.batch_size):
+                js = chunk_list[s:s + self.batch_size]
+                bs = self.batch_size
+                cdd = np.zeros((bs, width), dtype=np.int32)
+                cdd_mask = np.zeros((bs, width), dtype=np.float32)
+                label = np.zeros((bs, width), dtype=np.int8)
+                valid = np.zeros(bs, dtype=np.float32)
+                impr = np.zeros(bs, dtype=np.int64)
+                rows = np.zeros(bs, dtype=np.int64)
+                for i, j in enumerate(js):
+                    c = self.b.candidates(j)
+                    cdd[i, :len(c)] = c
+                    cdd_mask[i, :len(c)] = 1.0
+                    if has_labels:
+                        label[i, :len(c)] = self.b.labels(j)
+                    valid[i] = 1.0
+                    impr[i] = self.b.impr_idx[j]
+                    rows[i] = j
+                his_ids = self.his_ids[rows]
+                yield {
+                    "impr_index": impr,
+                    "user_id": self.b.uindex[rows],
+                    "cdd_id": cdd,
+                    "cdd_mask": cdd_mask,
+                    "his_id": his_ids,
+                    "his_token": self.news_tokens[his_ids],
+                    "his_attn": self.news_attn[his_ids],
+                    "his_mask": self.his_mask[rows],
+                    "label": label,
+                    "valid": valid,
+                }
+
+
+class HistoryLoader:
+    """User-history sweep for the `encode` throughput mode
+    (reference utils/MIND.py:494-553, utils/Manager.py:855-871)."""
+
+    def __init__(self, news: NewsCache, behaviors: Behaviors, *,
+                 batch_size: int, his_size: int, signal_length: int,
+                 descend_history: bool = False):
+        self.news_tokens, self.news_attn = news.truncated(signal_length)
+        self.news_attn = self.news_attn.astype(np.float32)
+        self.b = behaviors
+        self.batch_size = batch_size
+        self.his_ids, self.his_mask = _pad_histories(
+            behaviors, his_size, descend_history)
+        self.n = len(behaviors)
+
+    def __len__(self) -> int:
+        return self.n // self.batch_size
+
+    def __iter__(self) -> Iterator[Batch]:
+        for s in range(0, self.n - self.batch_size + 1, self.batch_size):
+            rows = np.arange(s, s + self.batch_size)
+            his_ids = self.his_ids[rows]
+            yield {
+                "user_id": self.b.uindex[rows],
+                "his_id": his_ids,
+                "his_token": self.news_tokens[his_ids],
+                "his_attn": self.news_attn[his_ids],
+                "his_mask": self.his_mask[rows],
+            }
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Double-buffered host→device prefetch.
+
+    Keeps `size` batches in flight ahead of the consumer; with a
+    NamedSharding, batches are laid out across the mesh as they land
+    (the jit'd step then consumes them without relayout).
+    """
+    import collections
+    import jax
+
+    queue = collections.deque()
+
+    def _put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return jax.device_put(batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(_put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield out

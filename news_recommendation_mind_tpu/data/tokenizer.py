@@ -1,0 +1,146 @@
+"""Tokenization for the news cache build.
+
+The reference delegates tokenization to HF's (Rust) tokenizers for the
+selected PLM (reference utils/MIND.py:90-91). Here tokenization is a pure
+offline cache-build step (never in the training path), with two backends:
+
+- ``WordTokenizer`` — a self-contained regex word tokenizer with a
+  corpus-built vocabulary, used for the random/GloVe embedding path and for
+  fully-offline (synthetic / test) runs. Emits BERT-style special ids
+  ([PAD]=0, [UNK]=100, [CLS]=101, [SEP]=102 by default) so downstream
+  truncation logic (force-final-[SEP], reference utils/MIND.py:103-108) is
+  backend-independent.
+- ``HFTokenizer`` — wraps a locally-cached HuggingFace ``AutoTokenizer``
+  for PLM configs; only used when a local cache exists (zero-egress
+  environment), otherwise ``get_tokenizer`` falls back to WordTokenizer.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import Counter
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+
+
+def word_split(text: str) -> List[str]:
+    """Lowercased word/punct split (counterpart of reference
+    utils/utils.py:25-38's tokenize helper)."""
+    return _WORD_RE.findall(text.lower())
+
+
+class WordTokenizer:
+    """Corpus-vocabulary word tokenizer with BERT-compatible special ids."""
+
+    PAD, UNK, CLS, SEP = "[PAD]", "[UNK]", "[CLS]", "[SEP]"
+
+    def __init__(self, vocab: Dict[str, int]):
+        self.vocab = vocab
+        self.pad_token_id = vocab[self.PAD]
+        self.unk_token_id = vocab[self.UNK]
+        self.cls_token_id = vocab[self.CLS]
+        self.sep_token_id = vocab[self.SEP]
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @classmethod
+    def build(cls, texts: Iterable[str], max_vocab: int = 60000,
+              min_freq: int = 1) -> "WordTokenizer":
+        counter: Counter = Counter()
+        for t in texts:
+            counter.update(word_split(t))
+        vocab = {cls.PAD: 0, cls.UNK: 1, cls.CLS: 2, cls.SEP: 3}
+        for w, c in counter.most_common():
+            if c < min_freq or len(vocab) >= max_vocab:
+                break
+            vocab[w] = len(vocab)
+        return cls(vocab)
+
+    def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        """[CLS] tokens... [SEP], padded/truncated to max_length.
+
+        Matches HF's single-sequence encode shape so the cache layout is
+        backend-independent (reference utils/MIND.py:133 uses
+        tokenizer(..., padding='max_length', truncation=True)).
+        """
+        ids = [self.vocab.get(w, self.unk_token_id) for w in word_split(text)]
+        ids = [self.cls_token_id] + ids[: max_length - 2] + [self.sep_token_id]
+        attn = np.zeros(max_length, dtype=np.uint8)
+        attn[: len(ids)] = 1
+        out = np.full(max_length, self.pad_token_id, dtype=np.int32)
+        out[: len(ids)] = ids
+        return out, attn
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.vocab, f)
+
+    @classmethod
+    def load(cls, path: str) -> "WordTokenizer":
+        with open(path, encoding="utf-8") as f:
+            return cls(json.load(f))
+
+
+class HFTokenizer:
+    """Locally-cached HuggingFace tokenizer backend (PLM configs)."""
+
+    def __init__(self, name: str):
+        from transformers import AutoTokenizer  # lazy; heavy import
+        self.tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
+        self.pad_token_id = self.tok.pad_token_id or 0
+        self.cls_token_id = self.tok.cls_token_id
+        self.sep_token_id = self.tok.sep_token_id
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tok.vocab_size
+
+    def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        enc = self.tok(text, padding="max_length", truncation=True,
+                       max_length=max_length)
+        return (np.asarray(enc["input_ids"], dtype=np.int32),
+                np.asarray(enc["attention_mask"], dtype=np.uint8))
+
+
+# HF model name per PLM shorthand (reference utils/Manager.py:917-950's
+# get_bert_for_load mapping, rebuilt)
+PLM_HUB_NAMES = {
+    "bert": "bert-base-uncased",
+    "deberta": "microsoft/deberta-base",
+    "distill": "distilbert-base-uncased",
+    "funnel": "funnel-transformer/small-base",
+    "newsbert": "bert-base-uncased",
+    "synthesizer": "bert-base-uncased",
+    "longformer": "allenai/longformer-base-4096",
+    "bigbird": "google/bigbird-roberta-base",
+    "reformer": "google/reformer-crime-and-punishment",
+}
+
+
+def get_tokenizer(backend: str, vocab_path: Optional[str] = None,
+                  corpus: Optional[Sequence[str]] = None):
+    """Resolve a tokenizer backend.
+
+    ``backend`` is either 'word' or a PLM shorthand. PLM shorthands try the
+    local HF cache and fall back to a WordTokenizer (offline environments).
+    """
+    if backend != "word":
+        try:
+            return HFTokenizer(PLM_HUB_NAMES.get(backend, backend))
+        except Exception:
+            pass  # no local HF cache — fall through to word backend
+    if vocab_path and os.path.exists(vocab_path):
+        return WordTokenizer.load(vocab_path)
+    if corpus is None:
+        raise ValueError("word tokenizer needs a saved vocab or a corpus")
+    tok = WordTokenizer.build(corpus)
+    if vocab_path:
+        tok.save(vocab_path)
+    return tok
