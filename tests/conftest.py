@@ -3,7 +3,13 @@
 Multi-chip sharding logic is exercised on a fake device mesh (SURVEY.md §4's
 test strategy): `xla_force_host_platform_device_count=8` gives every test
 eight CPU "chips" so pjit/shard_map paths compile and run without TPU
-hardware. Must run before jax is imported anywhere.
+hardware.
+
+Note: this machine's sitecustomize registers the remote `axon` TPU backend
+and pins JAX_PLATFORMS=axon at interpreter startup, so the env var cannot
+be overridden from here — `jax.config.update("jax_platforms", "cpu")`
+after import is what actually selects CPU (it must run before any backend
+is initialized, hence this conftest does it at collection time).
 """
 import os
 
@@ -12,8 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -22,3 +31,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devices = jax.devices()
+    assert devices[0].platform == "cpu"
+    return devices
