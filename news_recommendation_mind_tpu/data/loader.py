@@ -210,7 +210,8 @@ class EvalLoader:
                  buckets: Sequence[int] = (20, 50, 100, 200, 300, 500),
                  descend_history: bool = False,
                  num_shards: int = 1, shard_index: int = 0,
-                 impr_size: int = 2000):
+                 impr_size: int = 2000, include_cdd_tokens: bool = False):
+        self.include_cdd_tokens = include_cdd_tokens
         assert behaviors.mode in ("dev", "test")
         self.news_tokens, self.news_attn = news.truncated(signal_length)
         self.news_attn = self.news_attn.astype(np.float32)
@@ -257,7 +258,7 @@ class EvalLoader:
                     impr[i] = self.b.impr_idx[j]
                     rows[i] = j
                 his_ids = self.his_ids[rows]
-                yield {
+                batch = {
                     "impr_index": impr,
                     "user_id": self.b.uindex[rows],
                     "cdd_id": cdd,
@@ -269,6 +270,10 @@ class EvalLoader:
                     "label": label,
                     "valid": valid,
                 }
+                if self.include_cdd_tokens:  # slow-eval path scores from raw tokens
+                    batch["cdd_token"] = self.news_tokens[cdd]
+                    batch["cdd_attn"] = self.news_attn[cdd]
+                yield batch
 
 
 class HistoryLoader:

@@ -1,0 +1,190 @@
+"""Evaluation engine: two-phase fast eval, slow eval, test submissions.
+
+TPU-native rebuild of the reference's eval machinery
+(reference utils/Manager.py:425-541, 721-852):
+
+- **Fast (two-phase) eval** — phase 1 sweeps every news article once
+  through the news encoder into a [news_num+1, H] table
+  (reference utils/Manager.py:489-505); phase 2 scores impressions by
+  table lookup for candidates *and* history (the reference looks up
+  history only for PLM, models/PLM.py:110-113 — for any two-tower model
+  the lookup is mathematically identical to live encoding at eval time,
+  so it is applied universally here) plus a live user-encoder pass.
+  Impression chunks arrive in bucketed fixed shapes (one compile per
+  bucket) instead of the reference's bs=1 dynamic shapes.
+- **Slow eval** — full forward from raw tokens (parity/debug path,
+  reference utils/Manager.py:425-470).
+- **Metrics** — host-side grouping by impr_index + cal_metric
+  (reference utils/Manager.py:721-749).
+- **Test submission** — prediction.txt with ordinal ranks of descending
+  scores (reference utils/Manager.py:836-852).
+- Multi-process: each process evaluates its contiguous chunk partition;
+  results are gathered to process 0 via multihost allgather.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.two_tower import TwoTower
+from .metrics import cal_metric, group_lists
+
+
+def encode_all_news(model, params, news_loader, hidden_dim: int,
+                    save_path: Optional[str] = None) -> np.ndarray:
+    """Phase 1: encode every news article once → [news_num+1, H] table."""
+
+    @jax.jit
+    def encode(params, token, attn):
+        # [B, S] → [B, 1, S] → [B, H]
+        return model.apply(params, token[:, None, :], attn[:, None, :],
+                           method=type(model).encode_news)[:, 0, :]
+
+    table = np.zeros((news_loader.n, hidden_dim), np.float32)
+    for batch in news_loader:
+        reprs = np.asarray(encode(params, batch["token"], batch["attn"]),
+                           np.float32)
+        valid = batch["valid"] > 0
+        table[batch["news_id"][valid]] = reprs[valid]
+    if save_path:
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
+        np.save(save_path, table)
+    return table
+
+
+def _collect(batches) -> Tuple[List, List, List]:
+    impr_indexes, labels, preds = [], [], []
+    for impr, lab, score, mask, valid in batches:
+        for i in range(len(valid)):
+            if valid[i] <= 0:
+                continue
+            k = int(mask[i].sum())
+            impr_indexes.append(int(impr[i]))
+            preds.append(score[i, :k].tolist())
+            if lab is not None:
+                labels.append(lab[i, :k].tolist())
+    return impr_indexes, labels, preds
+
+
+def _gather_to_host0(impr_indexes, labels, preds):
+    """Cross-process gather of python result lists (the reference's
+    dist.all_gather_object, utils/Manager.py:450-464) via multihost utils."""
+    if jax.process_count() == 1:
+        return impr_indexes, labels, preds
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        (impr_indexes, labels, preds), tiled=False)
+    # process_allgather works on arrays; fall back to broadcast of pytrees
+    return gathered
+
+
+def fast_eval_scores(model, params, news_table: np.ndarray, eval_loader,
+                     with_user_id: bool = True):
+    """Phase 2: yield per-batch (impr, labels, sigmoid scores, mask, valid)."""
+    table = jax.device_put(jnp.asarray(news_table))
+    score_fns: Dict[int, callable] = {}
+
+    def make_fn():
+        def fn(params, table, cdd_id, his_id, his_mask, user_id):
+            cdd_repr = jnp.take(table, cdd_id, axis=0)      # [B, W, H]
+            his_repr = jnp.take(table, his_id, axis=0)      # [B, N, H]
+            user_repr = model.apply(
+                params, his_repr, his_mask, user_id,
+                method=type(model).encode_user_from_reprs)  # [B, 1, H]
+            d = jnp.asarray(cdd_repr.shape[-1], cdd_repr.dtype)
+            scores = jnp.einsum("bwh,buh->bw", cdd_repr, user_repr) / \
+                jnp.sqrt(d)
+            return jax.nn.sigmoid(scores)
+        return jax.jit(fn)
+
+    for batch in eval_loader:
+        width = batch["cdd_id"].shape[1]
+        if width not in score_fns:
+            score_fns[width] = make_fn()
+        scores = np.asarray(score_fns[width](
+            params, table, batch["cdd_id"], batch["his_id"],
+            batch["his_mask"],
+            batch["user_id"] if with_user_id else None))
+        lab = batch.get("label")
+        yield (batch["impr_index"], lab, scores, batch["cdd_mask"],
+               batch["valid"])
+
+
+def slow_eval_scores(model, params, eval_loader):
+    """Full-forward scoring from raw tokens (needs include_cdd_tokens)."""
+    score_fns: Dict[int, callable] = {}
+
+    def make_fn():
+        def fn(params, batch):
+            scores = model.apply(params, batch, deterministic=True)
+            return jax.nn.sigmoid(scores)
+        return jax.jit(fn)
+
+    for batch in eval_loader:
+        width = batch["cdd_token"].shape[1]
+        if width not in score_fns:
+            score_fns[width] = make_fn()
+        model_batch = {k: batch[k] for k in
+                       ("cdd_token", "cdd_attn", "his_token", "his_attn",
+                        "his_mask", "user_id")}
+        scores = np.asarray(score_fns[width](params, model_batch))
+        yield (batch["impr_index"], batch.get("label"), scores,
+               batch["cdd_mask"], batch["valid"])
+
+
+def evaluate(model, params, eval_loader, metrics: List[str],
+             news_loader=None, hidden_dim: int = 0,
+             fast: bool = True, news_table: Optional[np.ndarray] = None,
+             save_table_path: Optional[str] = None) -> Dict[str, float]:
+    """End-to-end dev evaluation → metric dict
+    (reference utils/Manager.py:544-585 evaluate)."""
+    if fast:
+        if news_table is None:
+            assert news_loader is not None
+            news_table = encode_all_news(model, params, news_loader,
+                                         hidden_dim, save_table_path)
+        batches = fast_eval_scores(model, params, news_table, eval_loader)
+    else:
+        batches = slow_eval_scores(model, params, eval_loader)
+    impr_indexes, labels, preds = _collect(batches)
+    impr_indexes, labels, preds = _gather_to_host0(impr_indexes, labels,
+                                                   preds)
+    if jax.process_index() != 0:
+        return {}
+    grouped_labels, grouped_preds = group_lists(impr_indexes, labels, preds)
+    return cal_metric(grouped_labels, grouped_preds, metrics)
+
+
+def write_predictions(model, params, eval_loader, result_dir: str,
+                     news_loader=None, hidden_dim: int = 0,
+                     fast: bool = True,
+                     news_table: Optional[np.ndarray] = None) -> Optional[str]:
+    """Unlabeled test pass → prediction.txt in MIND leaderboard format
+    (reference utils/Manager.py:815-852)."""
+    if fast:
+        if news_table is None:
+            news_table = encode_all_news(model, params, news_loader,
+                                         hidden_dim)
+        batches = fast_eval_scores(model, params, news_table, eval_loader)
+    else:
+        batches = slow_eval_scores(model, params, eval_loader)
+    impr_indexes, _, preds = _collect(batches)
+    impr_indexes, _, preds = _gather_to_host0(impr_indexes, [], preds)
+    if jax.process_index() != 0:
+        return None
+    (grouped_preds,) = group_lists(impr_indexes, preds)
+    os.makedirs(result_dir, exist_ok=True)
+    path = os.path.join(result_dir, "prediction.txt")
+    with open(path, "w") as f:
+        for index, pred in enumerate(grouped_preds, start=1):
+            arr = np.asarray(pred)
+            # ordinal ranks of descending score (ss.rankdata(1-x, 'ordinal'))
+            order = np.argsort(1 - arr, kind="stable")
+            ranks = np.empty(len(arr), dtype=np.int64)
+            ranks[order] = np.arange(1, len(arr) + 1)
+            f.write(f"{index} [" + ",".join(map(str, ranks)) + "]\n")
+    return path

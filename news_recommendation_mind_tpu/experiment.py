@@ -1,0 +1,139 @@
+"""Experiment assembly: Config → tokenizer, caches, loaders, model.
+
+The counterpart of the reference Manager's prepare() + entry-script model
+construction (reference utils/Manager.py:183-286, twotower.py:7-59): one
+place that resolves dataset directories (MIND{scale}_{split} convention),
+builds/loads the token + behavior caches, constructs fixed-shape loaders,
+and assembles the model module for the configured components.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .data import (
+    EvalLoader, HistoryLoader, NewsLoader, TrainLoader,
+    build_behaviors, build_news_cache, generate_synthetic_mind, get_tokenizer,
+)
+from .data.cache import Behaviors, NewsCache, parse_news_tsv
+from .models import TwoTower, WordEmbedding, make_news_encoder, \
+    make_user_encoder
+
+
+def split_dir(cfg: Config, split: str) -> str:
+    return os.path.join(cfg.data_root, f"MIND{cfg.scale}_{split}")
+
+
+def ensure_dataset(cfg: Config) -> None:
+    """Generate the synthetic dataset on demand (zero-egress environments
+    have no MIND download; real MIND data is used as-is when present)."""
+    if cfg.scale == "synthetic" and not os.path.exists(
+            os.path.join(split_dir(cfg, "train"), "news.tsv")):
+        generate_synthetic_mind(cfg.data_root, seed=cfg.seed)
+
+
+@dataclass
+class DataBundle:
+    tokenizer: object
+    news: Dict[str, NewsCache]          # per split
+    behaviors: Dict[str, Behaviors]     # per split
+    user_num: int
+    vocab_size: int
+
+
+def build_data(cfg: Config, splits=("train", "dev"),
+               process_index: int = 0) -> DataBundle:
+    ensure_dataset(cfg)
+    cache_base = os.path.join(cfg.cache_root, "MIND")
+    vocab_path = os.path.join(cache_base, "vocab", f"{cfg.scale}.json")
+
+    backend = "word" if cfg.embedding in ("random", "glove") else cfg.bert
+    train_news_tsv = os.path.join(split_dir(cfg, "train"), "news.tsv")
+    corpus = None
+    if backend == "word" and not os.path.exists(vocab_path):
+        _, corpus = parse_news_tsv(train_news_tsv)
+    tokenizer = get_tokenizer(backend, vocab_path=vocab_path, corpus=corpus)
+
+    news: Dict[str, NewsCache] = {}
+    behaviors: Dict[str, Behaviors] = {}
+    uid2idx = None
+    for split in splits:
+        d = split_dir(cfg, split)
+        news_cache_dir = os.path.join(
+            cache_base, "news", backend, f"{cfg.scale}_{split}")
+        news[split] = build_news_cache(
+            os.path.join(d, "news.tsv"), news_cache_dir, tokenizer,
+            max_token_length=cfg.max_token_length,
+            process_index=process_index)
+        mode = "train" if split == "train" else \
+            ("test" if split == "test" else "dev")
+        beh_cache_dir = os.path.join(
+            cache_base, "behaviors", f"{cfg.scale}_{split}")
+        behaviors[split] = build_behaviors(
+            os.path.join(d, "behaviors.tsv"), news[split].nid2idx, mode,
+            impr_size=cfg.impr_size, uid2idx=uid2idx,
+            cache_dir=beh_cache_dir, process_index=process_index)
+        if uid2idx is None:
+            uid2idx = behaviors[split].uid2idx
+    return DataBundle(tokenizer=tokenizer, news=news, behaviors=behaviors,
+                      user_num=len(uid2idx or {}),
+                      vocab_size=tokenizer.vocab_size)
+
+
+def build_model(cfg: Config, vocab_size: int, user_num: int,
+                pretrained_embedding: Optional[np.ndarray] = None
+                ) -> TwoTower:
+    """Assemble the configured model (twotower family; plm/xformer are
+    built by their own factories in models/plm.py / models/xformer.py)."""
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    embedding = WordEmbedding(vocab_size, cfg.embedding_dim,
+                              pretrained=pretrained_embedding, dtype=dtype)
+    news_enc = make_news_encoder(cfg.encoderN, hidden_dim=cfg.hidden_dim,
+                                 embedding_dim=cfg.embedding_dim,
+                                 head_num=cfg.head_num,
+                                 dropout_p=cfg.dropout_p, dtype=dtype)
+    user_enc = make_user_encoder(cfg.encoderU, hidden_dim=cfg.hidden_dim,
+                                 head_num=cfg.head_num, user_num=user_num,
+                                 dtype=dtype)
+    return TwoTower(embedding=embedding, news_encoder=news_enc,
+                    user_encoder=user_enc, hidden_dim=cfg.hidden_dim)
+
+
+def build_train_loader(cfg: Config, data: DataBundle,
+                       num_shards: int = 1, shard_index: int = 0
+                       ) -> TrainLoader:
+    return TrainLoader(
+        data.news["train"], data.behaviors["train"],
+        batch_size=cfg.batch_size, npratio=cfg.npratio,
+        his_size=cfg.his_size, signal_length=cfg.signal_length,
+        shuffle_pos=cfg.shuffle_pos, descend_history=cfg.descend_history,
+        seed=cfg.seed, num_shards=num_shards, shard_index=shard_index)
+
+
+def build_eval_loaders(cfg: Config, data: DataBundle, split: str = "dev",
+                       num_shards: int = 1, shard_index: int = 0):
+    news_loader = NewsLoader(data.news[split],
+                             batch_size=cfg.batch_size_news,
+                             signal_length=cfg.signal_length)
+    eval_loader = EvalLoader(
+        data.news[split], data.behaviors[split],
+        batch_size=max(cfg.batch_size, 8), his_size=cfg.his_size,
+        signal_length=cfg.signal_length,
+        descend_history=cfg.descend_history, impr_size=cfg.impr_size,
+        num_shards=num_shards, shard_index=shard_index,
+        include_cdd_tokens=not cfg.fast)
+    return news_loader, eval_loader
+
+
+def build_history_loader(cfg: Config, data: DataBundle,
+                         split: str = "dev") -> HistoryLoader:
+    return HistoryLoader(data.news[split], data.behaviors[split],
+                         batch_size=cfg.batch_size_history,
+                         his_size=cfg.his_size,
+                         signal_length=cfg.signal_length,
+                         descend_history=cfg.descend_history)

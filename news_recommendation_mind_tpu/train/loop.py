@@ -1,0 +1,120 @@
+"""Training orchestration: epochs, periodic eval, best-AUC checkpointing.
+
+Counterpart of the reference's train/_train loop
+(reference utils/Manager.py:588-718) with the quirks ironed out:
+evaluation runs uniformly every `save_step` steps (or each epoch when 0) on
+*every* scale (the reference's gate skips mid-train eval entirely on the
+`small` scale, utils/Manager.py:662), and resume restores the full state
+including the step counter (see train/checkpoint.py).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.loader import prefetch_to_device
+from ..evaluation.engine import evaluate
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..utils.logging import get_logger, log_result
+from .checkpoint import load_checkpoint, save_checkpoint
+from .state import TrainState, create_train_state, make_optimizer
+from .step import make_train_step
+
+logger = get_logger("train")
+
+
+class Trainer:
+    """Drives one experiment: state init/resume, the jitted step over the
+    mesh, periodic evaluation, and artifact management."""
+
+    def __init__(self, cfg: Config, model, train_loader,
+                 news_loader=None, eval_loader=None,
+                 mesh=None, sample_batch=None):
+        self.cfg = cfg
+        self.model = model
+        self.train_loader = train_loader
+        self.news_loader = news_loader
+        self.eval_loader = eval_loader
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh_shape, cfg.mesh_axes)
+        total_steps = cfg.epochs * max(len(train_loader), 1)
+        self.optimizer = make_optimizer(
+            cfg.lr, cfg.bert_lr, scheduler=cfg.scheduler,
+            warmup=cfg.warmup, total_steps=total_steps)
+        if sample_batch is None:
+            sample_batch = next(iter(train_loader))
+        params = model.init(jax.random.PRNGKey(cfg.seed),
+                            {k: v for k, v in sample_batch.items()})
+        self.state = create_train_state(params, self.optimizer)
+        if cfg.checkpoint:
+            self.state = load_checkpoint(cfg.ckpt_dir(), cfg.scale,
+                                         self.state, step=cfg.checkpoint)
+            logger.info("resumed from step %d", int(self.state.step))
+        self.train_step = make_train_step(model, self.optimizer,
+                                          mesh=self.mesh, donate=cfg.donate)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.best_auc = -1.0
+        self.data_sharding = batch_sharding(self.mesh)
+
+    # ------------------------------------------------------------------
+    def evaluate_now(self) -> Dict[str, float]:
+        if self.eval_loader is None:
+            return {}
+        return evaluate(self.model, self.state.params, self.eval_loader,
+                        self.cfg.metric_list, news_loader=self.news_loader,
+                        hidden_dim=self.cfg.hidden_dim, fast=self.cfg.fast,
+                        save_table_path=self.cfg.news_repr_path("dev"))
+
+    def _maybe_eval_and_save(self) -> None:
+        step = int(self.state.step)
+        metrics = self.evaluate_now()
+        if metrics:
+            logger.info("step %d eval: %s", step, metrics)
+            log_result(self.cfg.name, self.cfg.scale, step, metrics)
+            auc = metrics.get("auc", 0.0)
+            if auc > self.best_auc:
+                self.best_auc = auc
+                save_checkpoint(self.cfg.ckpt_dir(), self.cfg.scale,
+                                self.state, best=True)
+        save_checkpoint(self.cfg.ckpt_dir(), self.cfg.scale, self.state)
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        steps_done = 0
+        t0 = time.time()
+        examples = 0
+        for epoch in range(cfg.epochs):
+            self.train_loader.set_epoch(epoch)
+            it = prefetch_to_device(iter(self.train_loader),
+                                    size=cfg.prefetch,
+                                    sharding=self.data_sharding)
+            for batch in it:
+                self.state, metrics = self.train_step(self.state, batch,
+                                                      self.rng)
+                steps_done += 1
+                examples += cfg.batch_size
+                if steps_done % cfg.interval == 0:
+                    loss = float(metrics["loss"])
+                    rate = examples / (time.time() - t0)
+                    logger.info(
+                        "epoch %d step %d loss %.4f (%.0f ex/s)",
+                        epoch, int(self.state.step), loss, rate)
+                if cfg.save_step and steps_done % cfg.save_step == 0 \
+                        and steps_done >= cfg.hold_step:
+                    self._maybe_eval_and_save()
+                if cfg.step_budget and steps_done >= cfg.step_budget:
+                    break
+            if not cfg.save_step:
+                self._maybe_eval_and_save()
+            if cfg.step_budget and steps_done >= cfg.step_budget:
+                break
+        final = self.evaluate_now()
+        if final:
+            logger.info("final eval: %s (best auc %.4f)", final,
+                        self.best_auc)
+        return final
