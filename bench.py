@@ -1,0 +1,108 @@
+"""Benchmark: flagship train-step throughput on the local accelerator.
+
+Measures examples/s for the flagship configuration (TwoTower CNN news
+encoder + LSTM user encoder at reference hyperparameters: hidden 150,
+embedding 768, signal_length 30, his_size 50, npratio 4 — reference
+utils/Manager.py:44-106) in bfloat16 with a device-resident batch, i.e.
+pure train-step throughput (forward + backward + Adam fused in one XLA
+executable). Generalizes the reference's only built-in timer (`encode`
+mode wall-clock, reference utils/Manager.py:855-871) into the
+examples/s/chip headline metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is relative to BASELINE_EXAMPLES_PER_S, the round-1
+measurement on this repo's TPU v5e chip (the reference publishes no
+numbers — BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Round-1 measured value on the single TPU v5e chip (2026-08-17);
+# vs_baseline tracks speedups across rounds relative to this.
+BASELINE_EXAMPLES_PER_S = 828632.3
+
+BATCH_SIZE = 256
+VOCAB = 30522
+EMBEDDING_DIM = 768
+HIDDEN_DIM = 150
+SIGNAL_LENGTH = 30
+HIS_SIZE = 50
+NPRATIO = 4
+WARMUP_STEPS = 5
+MEASURE_STEPS = 30
+
+
+def main() -> None:
+    import jax
+
+    from news_recommendation_mind_tpu.models import (
+        TwoTower, WordEmbedding, make_news_encoder, make_user_encoder,
+    )
+    from news_recommendation_mind_tpu.parallel import make_mesh, shard_batch
+    from news_recommendation_mind_tpu.train import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+    import jax.numpy as jnp
+
+    model = TwoTower(
+        embedding=WordEmbedding(VOCAB, EMBEDDING_DIM, dtype=jnp.bfloat16),
+        news_encoder=make_news_encoder(
+            "cnn", hidden_dim=HIDDEN_DIM, embedding_dim=EMBEDDING_DIM,
+            head_num=12, dropout_p=0.2, dtype=jnp.bfloat16),
+        user_encoder=make_user_encoder(
+            "lstm", hidden_dim=HIDDEN_DIM, head_num=12, dtype=jnp.bfloat16),
+        hidden_dim=HIDDEN_DIM,
+    )
+    rng = np.random.default_rng(0)
+    cdd = NPRATIO + 1
+    batch = {
+        "user_id": rng.integers(1, 1000, BATCH_SIZE).astype(np.int32),
+        "cdd_token": rng.integers(
+            0, VOCAB, (BATCH_SIZE, cdd, SIGNAL_LENGTH)).astype(np.int32),
+        "cdd_attn": np.ones((BATCH_SIZE, cdd, SIGNAL_LENGTH), np.float32),
+        "his_token": rng.integers(
+            0, VOCAB, (BATCH_SIZE, HIS_SIZE, SIGNAL_LENGTH)).astype(np.int32),
+        "his_attn": np.ones((BATCH_SIZE, HIS_SIZE, SIGNAL_LENGTH),
+                            np.float32),
+        "his_mask": np.ones((BATCH_SIZE, HIS_SIZE), np.float32),
+        "cdd_mask": np.ones((BATCH_SIZE, cdd), np.float32),
+        "label": np.zeros(BATCH_SIZE, np.int32),
+    }
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    opt = make_optimizer(1e-4, 6e-6)
+    state = create_train_state(params, opt)
+    step = make_train_step(model, opt, mesh=mesh, donate=True)
+    key = jax.random.PRNGKey(0)
+    device_batch = shard_batch(batch, mesh)
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, device_batch, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = step(state, device_batch, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    examples_per_s = BATCH_SIZE * MEASURE_STEPS / dt
+    per_chip = examples_per_s / n_chips
+    vs = (per_chip / BASELINE_EXAMPLES_PER_S
+          if BASELINE_EXAMPLES_PER_S else 1.0)
+    print(json.dumps({
+        "metric": "train_examples_per_s_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

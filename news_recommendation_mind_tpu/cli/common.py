@@ -1,0 +1,93 @@
+"""Shared CLI mode dispatch.
+
+The counterpart of the reference entry scripts' main()
+(reference twotower.py:7-59, plm.py:7-51, xformer.py:7-32): build data and
+model from the parsed Config, then dispatch on mode —
+train / dev (evaluate) / test (submission) / encode (user-encoding
+throughput, reference utils/Manager.py:855-871).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+
+from ..config import Config
+from ..evaluation.engine import evaluate, write_predictions
+from ..experiment import (
+    build_data, build_eval_loaders, build_history_loader, build_model,
+    build_train_loader,
+)
+from ..parallel import make_mesh
+from ..train import Trainer, create_train_state, load_checkpoint, \
+    make_optimizer
+from ..utils.logging import get_logger
+
+logger = get_logger("cli")
+
+
+def _restored_state(cfg: Config, model, sample_batch):
+    params = model.init(jax.random.PRNGKey(cfg.seed), sample_batch)
+    opt = make_optimizer(cfg.lr, cfg.bert_lr)
+    template = create_train_state(params, opt)
+    if cfg.checkpoint:
+        return load_checkpoint(cfg.ckpt_dir(), cfg.scale, template,
+                               step=cfg.checkpoint)
+    try:
+        return load_checkpoint(cfg.ckpt_dir(), cfg.scale, template,
+                               best=True)
+    except FileNotFoundError:
+        logger.warning("no checkpoint found; using fresh parameters")
+        return template
+
+
+def run(cfg: Config, model_builder=build_model) -> dict:
+    """Dispatch one experiment according to cfg.mode; returns metrics."""
+    eval_split = "test" if cfg.mode == "test" else "dev"
+    splits = ("train", eval_split)
+    data = build_data(cfg, splits=splits)
+    model = model_builder(cfg, data.vocab_size, data.user_num)
+    train_loader = build_train_loader(cfg, data)
+    sample_batch = next(iter(train_loader))
+
+    if cfg.mode == "train":
+        news_loader, eval_loader = build_eval_loaders(cfg, data, "dev")
+        trainer = Trainer(cfg, model, train_loader, news_loader,
+                          eval_loader, sample_batch=sample_batch)
+        return trainer.train()
+
+    state = _restored_state(cfg, model, sample_batch)
+    if cfg.mode == "dev":
+        news_loader, eval_loader = build_eval_loaders(cfg, data, "dev")
+        metrics = evaluate(model, state.params, eval_loader,
+                           cfg.metric_list, news_loader=news_loader,
+                           hidden_dim=cfg.hidden_dim, fast=cfg.fast,
+                           save_table_path=cfg.news_repr_path("dev"))
+        logger.info("dev metrics: %s", metrics)
+        print(metrics)
+        return metrics
+    if cfg.mode == "test":
+        news_loader, eval_loader = build_eval_loaders(cfg, data, "test")
+        path = write_predictions(model, state.params, eval_loader,
+                                 cfg.result_dir(int(state.step)),
+                                 news_loader=news_loader,
+                                 hidden_dim=cfg.hidden_dim, fast=cfg.fast)
+        logger.info("predictions written to %s", path)
+        return {"prediction_path": path}
+    if cfg.mode == "encode":
+        loader = build_history_loader(cfg, data, "dev")
+        encode = jax.jit(lambda p, b: model.apply(
+            p, b["his_token"], b["his_attn"], b["his_mask"], b["user_id"],
+            method=type(model).encode_user))
+        batch = next(iter(loader))
+        encode(state.params, batch).block_until_ready()  # compile
+        n = 0
+        t0 = time.time()
+        for batch in loader:
+            encode(state.params, batch).block_until_ready()
+            n += len(batch["user_id"])
+        dt = time.time() - t0
+        logger.info("encoded %d users in %.3fs (%.1f users/s)", n, dt,
+                    n / max(dt, 1e-9))
+        return {"users_per_s": n / max(dt, 1e-9)}
+    raise ValueError(f"unknown mode {cfg.mode}")
