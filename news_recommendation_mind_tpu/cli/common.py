@@ -57,11 +57,12 @@ def run(cfg: Config, model_builder=build_model) -> dict:
         return trainer.train()
 
     state = _restored_state(cfg, model, sample_batch)
+    hidden_dim = getattr(model, "hidden_dim", cfg.hidden_dim)
     if cfg.mode == "dev":
         news_loader, eval_loader = build_eval_loaders(cfg, data, "dev")
         metrics = evaluate(model, state.params, eval_loader,
                            cfg.metric_list, news_loader=news_loader,
-                           hidden_dim=cfg.hidden_dim, fast=cfg.fast,
+                           hidden_dim=hidden_dim, fast=cfg.fast,
                            save_table_path=cfg.news_repr_path("dev"))
         logger.info("dev metrics: %s", metrics)
         print(metrics)
@@ -71,7 +72,7 @@ def run(cfg: Config, model_builder=build_model) -> dict:
         path = write_predictions(model, state.params, eval_loader,
                                  cfg.result_dir(int(state.step)),
                                  news_loader=news_loader,
-                                 hidden_dim=cfg.hidden_dim, fast=cfg.fast)
+                                 hidden_dim=hidden_dim, fast=cfg.fast)
         logger.info("predictions written to %s", path)
         return {"prediction_path": path}
     if cfg.mode == "encode":

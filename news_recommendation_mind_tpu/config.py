@@ -49,6 +49,7 @@ class Config:
     dropout_p: float = 0.2
     vocab_size: int = 30522          # set from tokenizer at data build
     bert: str = "bert"               # PLM variant for plm/xformer models
+    bert_layers: int = 0             # override PLM depth (0 = variant default)
     debias: bool = False             # learned per-user bias on user repr
 
     # ---- training -----------------------------------------------------------

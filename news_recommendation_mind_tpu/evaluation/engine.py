@@ -87,27 +87,38 @@ def fast_eval_scores(model, params, news_table: np.ndarray, eval_loader,
     """Phase 2: yield per-batch (impr, labels, sigmoid scores, mask, valid)."""
     table = jax.device_put(jnp.asarray(news_table))
     score_fns: Dict[int, callable] = {}
+    # one-tower models (XFormer) need raw history tokens for the user pass;
+    # two-tower models short-circuit history through the news table
+    user_from_table = getattr(model, "fast_user_from_table", True)
 
     def make_fn():
-        def fn(params, table, cdd_id, his_id, his_mask, user_id):
+        def fn(params, table, cdd_id, user_inputs, user_id):
             cdd_repr = jnp.take(table, cdd_id, axis=0)      # [B, W, H]
-            his_repr = jnp.take(table, his_id, axis=0)      # [B, N, H]
-            user_repr = model.apply(
-                params, his_repr, his_mask, user_id,
-                method=type(model).encode_user_from_reprs)  # [B, 1, H]
+            if user_from_table:
+                his_repr = jnp.take(table, user_inputs["his_id"], axis=0)
+                user_repr = model.apply(
+                    params, his_repr, user_inputs["his_mask"], user_id,
+                    method=type(model).encode_user_from_reprs)
+            else:
+                user_repr = model.apply(
+                    params, user_inputs["his_token"],
+                    user_inputs["his_attn"], user_inputs["his_mask"],
+                    user_id, method=type(model).encode_user)
             d = jnp.asarray(cdd_repr.shape[-1], cdd_repr.dtype)
             scores = jnp.einsum("bwh,buh->bw", cdd_repr, user_repr) / \
                 jnp.sqrt(d)
             return jax.nn.sigmoid(scores)
         return jax.jit(fn)
 
+    user_keys = (("his_id", "his_mask") if user_from_table
+                 else ("his_token", "his_attn", "his_mask"))
     for batch in eval_loader:
         width = batch["cdd_id"].shape[1]
         if width not in score_fns:
             score_fns[width] = make_fn()
         scores = np.asarray(score_fns[width](
-            params, table, batch["cdd_id"], batch["his_id"],
-            batch["his_mask"],
+            params, table, batch["cdd_id"],
+            {k: batch[k] for k in user_keys},
             batch["user_id"] if with_user_id else None))
         lab = batch.get("label")
         yield (batch["impr_index"], lab, scores, batch["cdd_mask"],

@@ -86,11 +86,39 @@ def build_data(cfg: Config, splits=("train", "dev"),
 
 
 def build_model(cfg: Config, vocab_size: int, user_num: int,
-                pretrained_embedding: Optional[np.ndarray] = None
-                ) -> TwoTower:
-    """Assemble the configured model (twotower family; plm/xformer are
-    built by their own factories in models/plm.py / models/xformer.py)."""
+                pretrained_embedding: Optional[np.ndarray] = None):
+    """Assemble the configured model family (twotower / plm / xformer)."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    if cfg.model == "plm":
+        from .models.bert import BertModel, bert_variant
+        from .models.plm import PLM
+        variant = bert_variant(cfg.bert, vocab_size=vocab_size,
+                               signal_length=cfg.signal_length,
+                               num_layers=cfg.bert_layers or None)
+        user_enc = make_user_encoder(cfg.encoderU,
+                                     hidden_dim=variant.hidden_size,
+                                     head_num=cfg.head_num,
+                                     user_num=user_num, dtype=dtype)
+        return PLM(bert=BertModel(variant, dtype=dtype),
+                   user_encoder=user_enc, hidden_dim=variant.hidden_size,
+                   debias=cfg.debias)
+    if cfg.model == "xformer":
+        from .models.bert import BertModel, bert_variant
+        from .models.xformer import XFormer
+        variant = bert_variant(cfg.bert, vocab_size=vocab_size,
+                               signal_length=cfg.signal_length,
+                               num_layers=cfg.bert_layers or None)
+        news_bert = None
+        if cfg.bert == "reformer":
+            news_variant = bert_variant("bert", vocab_size=vocab_size,
+                                        signal_length=cfg.signal_length,
+                                        num_layers=cfg.bert_layers or None)
+            news_bert = BertModel(news_variant, dtype=dtype)
+        return XFormer(bert=BertModel(variant, dtype=dtype),
+                       hidden_dim=variant.hidden_size,
+                       max_length=variant.max_length,
+                       max_length_per_history=variant.max_length_per_history,
+                       news_bert=news_bert, debias=cfg.debias)
     embedding = WordEmbedding(vocab_size, cfg.embedding_dim,
                               pretrained=pretrained_embedding, dtype=dtype)
     news_enc = make_news_encoder(cfg.encoderN, hidden_dim=cfg.hidden_dim,

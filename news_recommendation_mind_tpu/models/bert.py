@@ -1,0 +1,304 @@
+"""A from-scratch JAX BERT-style encoder powering the PLM/XFormer families.
+
+The reference delegates to HuggingFace ``AutoModel`` with per-variant
+surgery (reference models/PLM.py:19-84, models/XFormer.py:18-42). Here one
+configurable flax encoder covers the whole variant table:
+
+- standard multi-head attention ("full"),
+- dense-synthesizer attention ("synthesizer": scores come from a 2-layer
+  MLP on the value projection, no QK product — reference
+  models/Modules/Synthesizer.py:16-53),
+- local+global windowed attention ("local": banded window + global first
+  token) — the TPU-friendly realization of the Longformer(w=32) /
+  BigBird(block=64) / Reformer(chunked-LSH) sparse-attention family the
+  reference swaps in for long user sequences (reference models/PLM.py:66-78,
+  models/XFormer.py:18-42). The banded pattern is mask-based XLA today
+  (exact for window attention + global CLS; LSH bucketing is approximated
+  by the local window) and is the target of the Pallas windowed kernel in
+  ops/.
+
+Variant table (layers / pooler / windows / special ids / xformer lengths)
+mirrors reference utils/Manager.py:917-1026. Pretrained HF weights load via
+``load_hf_bert_weights`` when a local HF cache exists; offline environments
+train from random init.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .attention import masked_softmax
+
+
+@dataclass(frozen=True)
+class BertVariantConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    eps: float = 1e-12
+    attention_type: str = "full"      # full | synthesizer | local
+    window: int = 0                   # local attention half-window
+    pooler: str = "tanh"              # tanh | gelu_cls | cls
+    signal_length: int = 30           # synthesizer score-MLP width
+    pad_token_id: int = 0
+    cls_token_id: int = 101
+    sep_token_id: int = 102
+    # XFormer long-context budget (reference utils/Manager.py:1013-1026)
+    max_length: int = 512
+    max_length_per_history: int = 10
+
+    def replace(self, **kw) -> "BertVariantConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# per-variant table; special ids mirror reference utils/Manager.py:953-1001,
+# lengths utils/Manager.py:1013-1026, surgery models/PLM.py:19-84
+_VARIANTS = {
+    "bert": BertVariantConfig(),
+    "newsbert": BertVariantConfig(num_layers=4),
+    "distill": BertVariantConfig(num_layers=6, type_vocab_size=0,
+                                 pooler="gelu_cls"),
+    "deberta": BertVariantConfig(pooler="gelu_cls", cls_token_id=1,
+                                 sep_token_id=2),
+    "funnel": BertVariantConfig(num_layers=6, pooler="cls"),
+    "synthesizer": BertVariantConfig(attention_type="synthesizer"),
+    "longformer": BertVariantConfig(attention_type="local", window=32,
+                                    max_position=1026, pad_token_id=1,
+                                    cls_token_id=0, sep_token_id=2,
+                                    max_length=1024,
+                                    max_length_per_history=21),
+    "bigbird": BertVariantConfig(attention_type="local", window=64,
+                                 max_position=1024, cls_token_id=65,
+                                 sep_token_id=66, max_length=1024,
+                                 max_length_per_history=21),
+    "reformer": BertVariantConfig(hidden_size=256, num_layers=6,
+                                  num_heads=8, intermediate_size=1024,
+                                  attention_type="local", window=64,
+                                  max_position=1280, pad_token_id=2,
+                                  cls_token_id=1, sep_token_id=2,
+                                  pooler="cls", max_length=1280,
+                                  max_length_per_history=26),
+}
+
+
+def bert_variant(name: str, *, vocab_size: Optional[int] = None,
+                 signal_length: int = 30, num_layers: Optional[int] = None
+                 ) -> BertVariantConfig:
+    if name not in _VARIANTS:
+        raise ValueError(f"unknown PLM variant {name}")
+    cfg = _VARIANTS[name]
+    kw = {"signal_length": signal_length}
+    if vocab_size is not None:
+        kw["vocab_size"] = vocab_size
+    if num_layers is not None:
+        kw["num_layers"] = num_layers
+    return cfg.replace(**kw)
+
+
+def _local_global_band(mask: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[B, S] keep-mask → [B, S, S] windowed mask with a global position 0.
+
+    keep (i, j) iff |i-j| <= window or i==0 or j==0, and j is a valid key.
+    """
+    S = mask.shape[-1]
+    idx = jnp.arange(S)
+    band = (jnp.abs(idx[:, None] - idx[None, :]) <= window)
+    glob = (idx[:, None] == 0) | (idx[None, :] == 0)
+    pattern = (band | glob).astype(mask.dtype)
+    return pattern[None, :, :] * mask[:, None, :]
+
+
+class _SelfAttention(nn.Module):
+    cfg: BertVariantConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.cfg
+        B, S, H = x.shape
+        if c.attention_type == "synthesizer":
+            # dense synthesizer: value projection then an MLP over the
+            # feature axis produces the [S, S] mixing matrix directly
+            # (reference models/Modules/Synthesizer.py:41-52; unmasked
+            # softmax like the reference)
+            v = nn.Dense(H, dtype=self.dtype, name="value")(x)
+            scores = nn.Dense(c.signal_length, dtype=self.dtype,
+                              name="score_out")(
+                nn.relu(nn.Dense(c.signal_length, dtype=self.dtype,
+                                 name="score_in")(v)))
+            probs = nn.softmax(scores, axis=-1)
+            return probs @ v
+
+        head_dim = H // c.num_heads
+        q = nn.Dense(H, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(H, dtype=self.dtype, name="key")(x)
+        v = nn.Dense(H, dtype=self.dtype, name="value")(x)
+
+        def heads(t):
+            return t.reshape(B, S, c.num_heads, head_dim).transpose(
+                0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, self.dtype))
+        if c.attention_type == "local" and c.window > 0:
+            mask = _local_global_band(attn_mask, c.window)[:, None, :, :]
+        else:
+            mask = attn_mask[:, None, None, :]
+        probs = masked_softmax(scores, mask)
+        probs = nn.Dropout(c.attention_dropout,
+                           deterministic=deterministic)(probs)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        return out.transpose(0, 2, 1, 3).reshape(B, S, H)
+
+
+class _Layer(nn.Module):
+    cfg: BertVariantConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.cfg
+        attn = _SelfAttention(c, self.dtype, name="attention")(
+            x, attn_mask, deterministic)
+        attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attn_out")(attn)
+        attn = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(attn)
+        x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
+                         name="attn_norm")(x + attn)
+        ff = nn.gelu(nn.Dense(c.intermediate_size, dtype=self.dtype,
+                              name="ffn_in")(x))
+        ff = nn.Dense(c.hidden_size, dtype=self.dtype, name="ffn_out")(ff)
+        ff = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(ff)
+        return nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
+                            name="ffn_norm")(x + ff)
+
+
+class BertModel(nn.Module):
+    """Token ids [B, S] + mask [B, S] → (hidden [B, S, H], pooled [B, H])."""
+    cfg: BertVariantConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, attn_mask: jnp.ndarray,
+                 deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        S = input_ids.shape[-1]
+        emb = nn.Embed(c.vocab_size, c.hidden_size,
+                       embedding_init=nn.initializers.normal(0.02),
+                       dtype=self.dtype, name="word_embeddings")(input_ids)
+        pos = self.param("position_embeddings",
+                         nn.initializers.normal(0.02),
+                         (c.max_position, c.hidden_size), jnp.float32)
+        emb = emb + pos[:S][None, :, :].astype(self.dtype)
+        if c.type_vocab_size:
+            tt = self.param("token_type_embeddings",
+                            nn.initializers.normal(0.02),
+                            (c.type_vocab_size, c.hidden_size), jnp.float32)
+            emb = emb + tt[0][None, None, :].astype(self.dtype)
+        x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
+                         name="embed_norm")(emb)
+        x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+        attn_mask = attn_mask.astype(self.dtype)
+        for i in range(c.num_layers):
+            x = _Layer(c, self.dtype, name=f"layer_{i}")(
+                x, attn_mask, deterministic)
+        pooled = self._pool(x)
+        return x, pooled
+
+    def _pool(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        cls = hidden[:, 0]
+        if c.pooler == "tanh":
+            # standard BERT pooler (the reference's pooler_output path,
+            # models/PLM.py:102-106)
+            return jnp.tanh(nn.Dense(c.hidden_size, dtype=self.dtype,
+                                     name="pooler")(cls))
+        if c.pooler == "gelu_cls":
+            # deberta/distill surgery (reference models/PLM.py:19-28, 49-57)
+            return nn.gelu(nn.Dense(c.hidden_size, dtype=self.dtype,
+                                    name="pooler")(cls))
+        return cls  # funnel identity pooler (reference models/PLM.py:30-35)
+
+
+def load_hf_bert_weights(params, hf_state_dict, num_layers: int,
+                         prefix: str = ""):
+    """Map a HuggingFace bert-base state_dict onto BertModel params.
+
+    Usable when a local HF cache exists (zero-egress environments train
+    from random init). Returns a new params dict; unmatched entries keep
+    their random init (strict=False semantics like the synthesizer load,
+    reference models/PLM.py:48).
+    """
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in hf_state_dict.items()}
+    p = flax_unfreeze(params)
+
+    def put(tree_path, key, transpose=False):
+        if prefix + key not in sd:
+            return
+        val = sd[prefix + key]
+        if transpose:
+            val = val.T
+        node = p["params"]
+        for part in tree_path[:-1]:
+            node = node[part]
+        node[tree_path[-1]] = jnp.asarray(val)
+
+    put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
+    put(["position_embeddings"], "embeddings.position_embeddings.weight")
+    put(["token_type_embeddings"], "embeddings.token_type_embeddings.weight")
+    put(["embed_norm", "scale"], "embeddings.LayerNorm.weight")
+    put(["embed_norm", "bias"], "embeddings.LayerNorm.bias")
+    for i in range(num_layers):
+        hf = f"encoder.layer.{i}."
+        fx = f"layer_{i}"
+        for ours, theirs in [("query", "attention.self.query"),
+                             ("key", "attention.self.key"),
+                             ("value", "attention.self.value")]:
+            put([fx, "attention", ours, "kernel"], hf + theirs + ".weight",
+                transpose=True)
+            put([fx, "attention", ours, "bias"], hf + theirs + ".bias")
+        put([fx, "attn_out", "kernel"], hf + "attention.output.dense.weight",
+            transpose=True)
+        put([fx, "attn_out", "bias"], hf + "attention.output.dense.bias")
+        put([fx, "attn_norm", "scale"],
+            hf + "attention.output.LayerNorm.weight")
+        put([fx, "attn_norm", "bias"], hf + "attention.output.LayerNorm.bias")
+        put([fx, "ffn_in", "kernel"], hf + "intermediate.dense.weight",
+            transpose=True)
+        put([fx, "ffn_in", "bias"], hf + "intermediate.dense.bias")
+        put([fx, "ffn_out", "kernel"], hf + "output.dense.weight",
+            transpose=True)
+        put([fx, "ffn_out", "bias"], hf + "output.dense.bias")
+        put([fx, "ffn_norm", "scale"], hf + "output.LayerNorm.weight")
+        put([fx, "ffn_norm", "bias"], hf + "output.LayerNorm.bias")
+    put(["pooler", "kernel"], "pooler.dense.weight", transpose=True)
+    put(["pooler", "bias"], "pooler.dense.bias")
+    return p
+
+
+def flax_unfreeze(params):
+    """Deep-copy params into plain mutable dicts."""
+    if isinstance(params, dict):
+        return {k: flax_unfreeze(v) for k, v in params.items()}
+    try:
+        import flax.core
+        if isinstance(params, flax.core.FrozenDict):
+            return {k: flax_unfreeze(v) for k, v in params.items()}
+    except Exception:
+        pass
+    return params

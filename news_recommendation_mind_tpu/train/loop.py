@@ -64,9 +64,10 @@ class Trainer:
     def evaluate_now(self) -> Dict[str, float]:
         if self.eval_loader is None:
             return {}
+        hidden_dim = getattr(self.model, "hidden_dim", self.cfg.hidden_dim)
         return evaluate(self.model, self.state.params, self.eval_loader,
                         self.cfg.metric_list, news_loader=self.news_loader,
-                        hidden_dim=self.cfg.hidden_dim, fast=self.cfg.fast,
+                        hidden_dim=hidden_dim, fast=self.cfg.fast,
                         save_table_path=self.cfg.news_repr_path("dev"))
 
     def _maybe_eval_and_save(self) -> None:

@@ -1,0 +1,174 @@
+"""PLM and XFormer model family tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from news_recommendation_mind_tpu.config import Config
+from news_recommendation_mind_tpu.models.bert import (
+    BertModel, _local_global_band, bert_variant,
+)
+from news_recommendation_mind_tpu.models.xformer import concat_history_tokens
+from news_recommendation_mind_tpu.experiment import build_model
+from news_recommendation_mind_tpu.models.two_tower import train_loss
+
+KEY = jax.random.PRNGKey(0)
+VOCAB = 200
+
+
+def _toy_batch(rng, bs=2, cdd=3, his=4, sl=8):
+    return {
+        "user_id": jnp.asarray(rng.integers(1, 10, bs), jnp.int32),
+        "cdd_token": jnp.asarray(rng.integers(0, VOCAB, (bs, cdd, sl)),
+                                 jnp.int32),
+        "cdd_attn": jnp.ones((bs, cdd, sl), jnp.float32),
+        "his_token": jnp.asarray(rng.integers(0, VOCAB, (bs, his, sl)),
+                                 jnp.int32),
+        "his_attn": jnp.ones((bs, his, sl), jnp.float32),
+        "his_mask": jnp.ones((bs, his), jnp.float32),
+        "cdd_mask": jnp.ones((bs, cdd), jnp.float32),
+        "label": jnp.zeros((bs,), jnp.int32),
+    }
+
+
+def test_variant_table():
+    assert bert_variant("bert").num_layers == 12
+    assert bert_variant("newsbert").num_layers == 4
+    assert bert_variant("distill").pooler == "gelu_cls"
+    assert bert_variant("funnel").pooler == "cls"
+    assert bert_variant("longformer").window == 32
+    assert bert_variant("longformer").max_length == 1024
+    assert bert_variant("reformer").hidden_size == 256
+    assert bert_variant("reformer").max_length_per_history == 26
+    with pytest.raises(ValueError):
+        bert_variant("nope")
+
+
+@pytest.mark.parametrize("name", ["bert", "synthesizer", "longformer"])
+def test_bert_model_forward(name):
+    cfg = bert_variant(name, vocab_size=VOCAB, signal_length=8,
+                       num_layers=2)
+    model = BertModel(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, VOCAB, (3, 8)), jnp.int32)
+    mask = jnp.ones((3, 8), jnp.float32)
+    params = model.init(KEY, ids, mask)
+    hidden, pooled = model.apply(params, ids, mask)
+    assert hidden.shape == (3, 8, cfg.hidden_size)
+    assert pooled.shape == (3, cfg.hidden_size)
+    assert np.isfinite(np.asarray(pooled)).all()
+
+
+def test_local_attention_masks_far_tokens():
+    mask = jnp.ones((1, 10), jnp.float32)
+    band = _local_global_band(mask, window=2)
+    b = np.asarray(band[0])
+    assert b[5, 3] == 1 and b[5, 7] == 1      # inside window
+    assert b[5, 1] == 0 and b[5, 9] == 0      # outside window
+    assert b[5, 0] == 1 and b[0, 9] == 1      # global CLS row/col
+    # invalid keys stay masked
+    mask2 = mask.at[0, 7:].set(0)
+    b2 = np.asarray(_local_global_band(mask2, 2)[0])
+    assert b2[6, 7] == 0
+
+
+def test_local_attention_far_token_invariance():
+    """With window=1 and 2 layers, perturbing a token >4 hops away from
+    CLS-adjacent positions must not leak beyond its receptive field —
+    checked via a non-global token's hidden state."""
+    cfg = bert_variant("longformer", vocab_size=VOCAB, num_layers=1
+                       ).replace(window=1, hidden_dropout=0.0,
+                                 attention_dropout=0.0)
+    model = BertModel(cfg)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, VOCAB, (1, 12)).astype(np.int32)
+    mask = jnp.ones((1, 12), jnp.float32)
+    params = model.init(KEY, jnp.asarray(ids), mask)
+    h1, _ = model.apply(params, jnp.asarray(ids), mask)
+    ids2 = ids.copy()
+    ids2[0, 11] = (ids2[0, 11] + 1) % VOCAB    # far from position 5
+    h2, _ = model.apply(params, jnp.asarray(ids2), mask)
+    # position 5 attends to {0,4,5,6} only → unchanged
+    np.testing.assert_allclose(np.asarray(h1[0, 5]), np.asarray(h2[0, 5]),
+                               atol=1e-5)
+    # position 11 itself changed
+    assert not np.allclose(np.asarray(h1[0, 11]), np.asarray(h2[0, 11]))
+
+
+def test_concat_history_tokens():
+    B, N, S = 2, 3, 6
+    toks = jnp.arange(B * N * S, dtype=jnp.int32).reshape(B, N, S)
+    attn = jnp.ones((B, N, S), jnp.float32)
+    out, mask = concat_history_tokens(toks, attn, per_history=2,
+                                      max_length=6)
+    assert out.shape == (2, 6) and mask.shape == (2, 6)
+    # row 0: CLS of history0 then tokens 1,2 of each article: 1,2,7,8,13
+    np.testing.assert_array_equal(np.asarray(out[0]), [0, 1, 2, 7, 8, 13])
+    # truncation respects max_length; padding appears when short
+    out2, mask2 = concat_history_tokens(toks, attn, per_history=1,
+                                        max_length=6)
+    np.testing.assert_array_equal(np.asarray(out2[0]), [0, 1, 7, 13, 0, 0])
+    np.testing.assert_array_equal(np.asarray(mask2[0]), [1, 1, 1, 1, 0, 0])
+
+
+def _family_cfg(model, bert="bert", **kw):
+    return Config(model=model, bert=bert, dtype="float32",
+                  signal_length=8, his_size=4, head_num=4, **kw)
+
+
+@pytest.mark.parametrize("bert,encU", [("newsbert", "attn"),
+                                       ("distill", "lstm"),
+                                       ("synthesizer", "avg"),
+                                       ("funnel", "mha")])
+def test_plm_forward_and_grads(bert, encU, rng):
+    cfg = _family_cfg("plm", bert, encoderU=encU)
+    model = build_model(cfg, VOCAB, 10)
+    batch = _toy_batch(rng)
+    params = model.init(KEY, batch)
+    scores = model.apply(params, batch)
+    assert scores.shape == (2, 3)
+
+    def loss_fn(p):
+        return train_loss(model.apply(p, batch), batch["label"],
+                          batch["cdd_mask"])
+    g = jax.grad(loss_fn)(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_plm_debias_adds_bias(rng):
+    cfg = _family_cfg("plm", "newsbert", encoderU="attn", debias=True)
+    model = build_model(cfg, VOCAB, 10)
+    batch = _toy_batch(rng)
+    params = model.init(KEY, batch)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("user_bias" in jax.tree_util.keystr(k) for k, _ in flat)
+
+
+@pytest.mark.parametrize("bert", ["bert", "longformer", "reformer"])
+def test_xformer_forward(bert, rng):
+    cfg = _family_cfg("xformer", bert)
+    model = build_model(cfg, VOCAB, 10)
+    batch = _toy_batch(rng)
+    params = model.init(KEY, batch)
+    scores = model.apply(params, batch)
+    assert scores.shape == (2, 3)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_plm_fast_path_consistency(rng):
+    """PLM fast path (table-looked-up history) == live encode at eval."""
+    from news_recommendation_mind_tpu.models.plm import PLM
+    cfg = _family_cfg("plm", "newsbert", encoderU="attn")
+    model = build_model(cfg, VOCAB, 10)
+    batch = _toy_batch(rng)
+    params = model.init(KEY, batch)
+    live = model.apply(params, batch["his_token"], batch["his_attn"],
+                       batch["his_mask"], method=PLM.encode_user)
+    his_repr = model.apply(params, batch["his_token"], batch["his_attn"],
+                           method=PLM.encode_news)
+    fast = model.apply(params, his_repr, batch["his_mask"],
+                       method=PLM.encode_user_from_reprs)
+    np.testing.assert_allclose(np.asarray(live), np.asarray(fast),
+                               atol=1e-5)
