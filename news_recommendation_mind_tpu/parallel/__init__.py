@@ -11,3 +11,21 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
 ]
+
+from .sharded_embedding import (
+    ShardedWordEmbedding,
+    pad_vocab,
+    partition_rules,
+    shard_train_state,
+    sharded_lookup,
+    state_shardings,
+)
+
+__all__ += [
+    "ShardedWordEmbedding",
+    "pad_vocab",
+    "partition_rules",
+    "shard_train_state",
+    "sharded_lookup",
+    "state_shardings",
+]

@@ -22,8 +22,15 @@ from .state import TrainState
 
 def make_train_step(model, optimizer: optax.GradientTransformation, *,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
-    """Build the jitted train step: (state, batch, rng) → (state, metrics)."""
+                    donate: bool = True,
+                    state_sharding=None) -> Callable:
+    """Build the jitted train step: (state, batch, rng) → (state, metrics).
+
+    state_sharding: optional pytree of NamedShardings matching the
+    TrainState (from parallel.sharded_embedding.state_shardings) — used
+    when parameters are model-sharded (row-sharded embedding tables) so
+    the state stays on its shards across steps; default is replicated.
+    """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
                 rng: jax.Array):
@@ -52,8 +59,9 @@ def make_train_step(model, optimizer: optax.GradientTransformation, *,
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        kw["in_shardings"] = (repl, data, repl)
-        kw["out_shardings"] = (repl, repl)
+        state_s = state_sharding if state_sharding is not None else repl
+        kw["in_shardings"] = (state_s, data, repl)
+        kw["out_shardings"] = (state_s, repl)
     return jax.jit(step_fn, **kw)
 
 
