@@ -78,6 +78,7 @@ class Config:
     prefetch: int = 2                # host→device prefetch depth
     donate: bool = True              # donate train state in the jitted step
     remat: bool = False              # jax.checkpoint the encoders
+    profile_dir: str = ""            # write a jax.profiler trace here
 
     # ---- bookkeeping --------------------------------------------------------
     world_size: int = 1              # number of processes (multi-host)

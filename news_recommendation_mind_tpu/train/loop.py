@@ -95,8 +95,17 @@ class Trainer:
                                     size=cfg.prefetch,
                                     sharding=self.data_sharding)
             for batch in it:
+                if cfg.profile_dir and steps_done == 10:
+                    # capture steps 10-14 (past compile/warmup); view with
+                    # tensorboard or xprof (SURVEY §5.1's tracing gap)
+                    jax.profiler.start_trace(cfg.profile_dir)
                 self.state, metrics = self.train_step(self.state, batch,
                                                       self.rng)
+                if cfg.profile_dir and steps_done == 14:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s",
+                                cfg.profile_dir)
                 steps_done += 1
                 examples += cfg.batch_size
                 if steps_done % cfg.interval == 0:
