@@ -1,0 +1,154 @@
+// Native train-batch assembler for the host input pipeline.
+//
+// The reference hides batch assembly in torch DataLoader worker processes
+// (reference utils/Manager.py:183-233); this framework's Python batcher
+// reaches ~65k examples/s while one TPU v5e consumes >800k examples/s, so
+// the hot path — per-sample negative sampling + token-matrix gather —
+// lives here: OpenMP over samples, counter-based RNG (deterministic under
+// any thread schedule), and row memcpys from the pinned numpy caches.
+// Exposed as a C ABI for ctypes (no pybind11 in this toolchain).
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC batcher.cpp -o libbatcher.so
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// splitmix64: counter-based, stateless per (seed, sample) stream
+static inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+struct Rng {
+  uint64_t state;
+  explicit Rng(uint64_t seed) : state(seed) {}
+  uint64_t next() { return state = splitmix64(state); }
+  // unbiased bounded draw (rejection-free Lemire)
+  uint32_t bounded(uint32_t n) {
+    uint64_t m = (uint64_t)(uint32_t)next() * n;
+    return (uint32_t)(m >> 32);
+  }
+};
+
+struct Ctx {
+  const int32_t* pos;          // [n]
+  const int32_t* neg_flat;
+  const int64_t* neg_offsets;  // [n+1]
+  const int32_t* his_ids;      // [n, his_size]
+  const float* his_mask;       // [n, his_size]
+  const int32_t* uindex;       // [n]
+  const int32_t* news_tokens;  // [rows, sl]
+  const float* news_attn;      // [rows, sl]
+  int64_t n, his_size, sl, npratio;
+  uint64_t seed;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* batcher_create(const int32_t* pos, const int32_t* neg_flat,
+                     const int64_t* neg_offsets, const int32_t* his_ids,
+                     const float* his_mask, const int32_t* uindex,
+                     const int32_t* news_tokens, const float* news_attn,
+                     int64_t n, int64_t his_size, int64_t sl,
+                     int64_t npratio, uint64_t seed) {
+  Ctx* c = new Ctx{pos, neg_flat, neg_offsets, his_ids, his_mask, uindex,
+                   news_tokens, news_attn, n, his_size, sl, npratio, seed};
+  return c;
+}
+
+void batcher_destroy(void* ctx) { delete static_cast<Ctx*>(ctx); }
+
+// Assemble one fixed-shape batch for sample indices idx[0..bs).
+// Output buffers are caller-allocated numpy arrays.
+void batcher_make_batch(void* vctx, const int64_t* idx, int64_t bs,
+                        uint64_t epoch, int32_t shuffle_pos,
+                        int32_t* user_id, int32_t* cdd_id, int32_t* his_id,
+                        int32_t* cdd_token, float* cdd_attn,
+                        int32_t* his_token, float* his_attn,
+                        float* cdd_mask, float* his_mask_out,
+                        int32_t* label) {
+  const Ctx& c = *static_cast<Ctx*>(vctx);
+  const int64_t cdd = c.npratio + 1;
+  const int64_t sl = c.sl, his = c.his_size;
+
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < bs; ++i) {
+    const int64_t s = idx[i];
+    Rng rng(splitmix64(c.seed ^ (epoch * 0x9e3779b9ull)) ^
+            splitmix64((uint64_t)s + 1));
+
+    // ---- candidates: positive at slot 0, sampled negatives after -------
+    int32_t* cdd_row = cdd_id + i * cdd;
+    float* cmask = cdd_mask + i * cdd;
+    cdd_row[0] = c.pos[s];
+    cmask[0] = 1.0f;
+    const int64_t nb = c.neg_offsets[s];
+    const int64_t ne = c.neg_offsets[s + 1];
+    const int64_t pool = ne - nb;
+    if (pool <= c.npratio) {
+      for (int64_t j = 0; j < c.npratio; ++j) {
+        const bool real = j < pool;
+        cdd_row[1 + j] = real ? c.neg_flat[nb + j] : 0;
+        cmask[1 + j] = real ? 1.0f : 0.0f;
+      }
+    } else {
+      // Floyd's sampling: npratio distinct draws from [0, pool)
+      // (newsample-without-replacement semantics, reference
+      // utils/utils.py:83-98)
+      int64_t picked[64];
+      int64_t k = 0;
+      for (int64_t j = pool - c.npratio; j < pool; ++j) {
+        int64_t t = rng.bounded((uint32_t)(j + 1));
+        bool dup = false;
+        for (int64_t q = 0; q < k; ++q) dup |= (picked[q] == t);
+        picked[k++] = dup ? j : t;
+      }
+      for (int64_t j = 0; j < c.npratio; ++j) {
+        cdd_row[1 + j] = c.neg_flat[nb + picked[j]];
+        cmask[1 + j] = 1.0f;
+      }
+    }
+
+    int32_t lab = 0;
+    if (shuffle_pos) {
+      // Fisher-Yates over the candidate slots; track the positive
+      for (int64_t j = cdd - 1; j > 0; --j) {
+        int64_t t = rng.bounded((uint32_t)(j + 1));
+        std::swap(cdd_row[j], cdd_row[t]);
+        std::swap(cmask[j], cmask[t]);
+      }
+      for (int64_t j = 0; j < cdd; ++j)
+        if (cdd_row[j] == c.pos[s]) { lab = (int32_t)j; break; }
+    }
+    label[i] = lab;
+    user_id[i] = c.uindex[s];
+
+    // ---- token gathers -------------------------------------------------
+    for (int64_t j = 0; j < cdd; ++j) {
+      const int64_t row = cdd_row[j];
+      std::memcpy(cdd_token + (i * cdd + j) * sl,
+                  c.news_tokens + row * sl, sl * sizeof(int32_t));
+      std::memcpy(cdd_attn + (i * cdd + j) * sl,
+                  c.news_attn + row * sl, sl * sizeof(float));
+    }
+    const int32_t* hrow = c.his_ids + s * his;
+    std::memcpy(his_id + i * his, hrow, his * sizeof(int32_t));
+    std::memcpy(his_mask_out + i * his, c.his_mask + s * his,
+                his * sizeof(float));
+    for (int64_t j = 0; j < his; ++j) {
+      const int64_t row = hrow[j];
+      std::memcpy(his_token + (i * his + j) * sl,
+                  c.news_tokens + row * sl, sl * sizeof(int32_t));
+      std::memcpy(his_attn + (i * his + j) * sl,
+                  c.news_attn + row * sl, sl * sizeof(float));
+    }
+  }
+}
+
+}  // extern "C"

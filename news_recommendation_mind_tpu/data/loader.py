@@ -66,7 +66,7 @@ class TrainLoader:
                  signal_length: int, shuffle_pos: bool = False,
                  descend_history: bool = False, seed: int = 42,
                  num_shards: int = 1, shard_index: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, backend: str = "auto"):
         assert behaviors.mode == "train"
         self.news_tokens, self.news_attn = news.truncated(signal_length)
         self.news_attn = self.news_attn.astype(np.float32)
@@ -83,6 +83,20 @@ class TrainLoader:
             behaviors, his_size, descend_history)
         self.n = len(behaviors)
         self.epoch = 0
+        # native (C++/OpenMP) assembly — ~10x the numpy path's throughput;
+        # see data/native_batcher.py
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from .native_batcher import NativeBatcher
+                self._native = NativeBatcher(
+                    behaviors, self.his_ids, self.his_mask,
+                    self.news_tokens, self.news_attn,
+                    npratio=npratio, seed=seed)
+            except Exception:
+                if backend == "native":
+                    raise
+        self.backend = "native" if self._native is not None else "numpy"
 
     def __len__(self) -> int:
         per_shard = self.n // self.num_shards if self.drop_last else \
@@ -123,7 +137,11 @@ class TrainLoader:
             math.ceil(len(order) / self.batch_size)
         for bi in range(nb):
             idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-            yield self._make_batch(idx, rng)
+            if self._native is not None:
+                yield self._native.make_batch(idx, self.epoch,
+                                              self.shuffle_pos)
+            else:
+                yield self._make_batch(idx, rng)
 
     def _make_batch(self, idx: np.ndarray, rng: np.random.Generator) -> Batch:
         bs = len(idx)
