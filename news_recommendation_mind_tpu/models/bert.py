@@ -150,6 +150,15 @@ class _SelfAttention(nn.Module):
                 0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+        if c.attention_type == "local" and c.window > 0 and S > 256:
+            # long-sequence path: exact block-banded attention, O(S·BS)
+            # scores instead of O(S²) (ops/local_attention.py). Attention
+            # dropout is skipped here — the long variants are the XFormer
+            # family whose reference analogues use sparse kernels without
+            # probability dropout on the band.
+            from ..ops.local_attention import block_local_attention
+            out = block_local_attention(q, k, v, attn_mask, c.window)
+            return out.transpose(0, 2, 1, 3).reshape(B, S, H)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(head_dim, self.dtype))
         if c.attention_type == "local" and c.window > 0:

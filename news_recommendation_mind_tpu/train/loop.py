@@ -55,7 +55,8 @@ class Trainer:
                                          self.state, step=cfg.checkpoint)
             logger.info("resumed from step %d", int(self.state.step))
         self.train_step = make_train_step(model, self.optimizer,
-                                          mesh=self.mesh, donate=cfg.donate)
+                                          mesh=self.mesh, donate=cfg.donate,
+                                          remat=cfg.remat)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.best_auc = -1.0
         self.data_sharding = batch_sharding(self.mesh)

@@ -23,7 +23,8 @@ from .state import TrainState
 def make_train_step(model, optimizer: optax.GradientTransformation, *,
                     mesh: Optional[Mesh] = None,
                     donate: bool = True,
-                    state_sharding=None) -> Callable:
+                    state_sharding=None,
+                    remat: bool = False) -> Callable:
     """Build the jitted train step: (state, batch, rng) → (state, metrics).
 
     state_sharding: optional pytree of NamedShardings matching the
@@ -38,9 +39,17 @@ def make_train_step(model, optimizer: optax.GradientTransformation, *,
         # whole run stays reproducible from one seed
         step_rng = jax.random.fold_in(rng, state.step)
 
+        def forward(params, batch, step_rng):
+            return model.apply(params, batch, deterministic=False,
+                               rngs={"dropout": step_rng})
+
+        if remat:
+            # recompute the forward during backward instead of saving
+            # activations — trades FLOPs for HBM on big PLM configs
+            forward = jax.checkpoint(forward)
+
         def loss_fn(params):
-            scores = model.apply(params, batch, deterministic=False,
-                                 rngs={"dropout": step_rng})
+            scores = forward(params, batch, step_rng)
             return train_loss(scores, batch["label"], batch.get("cdd_mask"))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
