@@ -46,7 +46,10 @@ def run(cfg: Config, model_builder=build_model) -> dict:
     eval_split = "test" if cfg.mode == "test" else "dev"
     splits = ("train", eval_split)
     data = build_data(cfg, splits=splits)
-    model = model_builder(cfg, data.vocab_size, data.user_num)
+    from ..experiment import load_pretrained_embedding
+    pretrained = load_pretrained_embedding(cfg, data)
+    model = model_builder(cfg, data.vocab_size, data.user_num,
+                          pretrained_embedding=pretrained)
     train_loader = build_train_loader(cfg, data)
     sample_batch = next(iter(train_loader))
 

@@ -79,6 +79,7 @@ class Config:
     donate: bool = True              # donate train state in the jitted step
     remat: bool = False              # jax.checkpoint the encoders
     profile_dir: str = ""            # write a jax.profiler trace here
+    async_save: bool = False         # overlap checkpoint IO with training
 
     # ---- bookkeeping --------------------------------------------------------
     world_size: int = 1              # number of processes (multi-host)

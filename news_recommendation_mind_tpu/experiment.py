@@ -85,6 +85,21 @@ def build_data(cfg: Config, splits=("train", "dev"),
                       vocab_size=tokenizer.vocab_size)
 
 
+def load_pretrained_embedding(cfg: Config, data: DataBundle
+                              ) -> Optional[np.ndarray]:
+    """GloVe init matrix when --embedding glove and a glove file exists
+    under {data_root}/glove/ (offline, file-based)."""
+    if cfg.embedding != "glove":
+        return None
+    from .data.glove import find_glove_file, load_glove_matrix
+    path = find_glove_file([os.path.join(cfg.data_root, "glove"),
+                            cfg.data_root])
+    if path is None:
+        return None
+    return load_glove_matrix(path, data.tokenizer, cfg.embedding_dim,
+                             seed=cfg.seed)
+
+
 def build_model(cfg: Config, vocab_size: int, user_num: int,
                 pretrained_embedding: Optional[np.ndarray] = None):
     """Assemble the configured model family (twotower / plm / xformer)."""

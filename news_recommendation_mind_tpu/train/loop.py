@@ -20,7 +20,8 @@ from ..data.loader import prefetch_to_device
 from ..evaluation.engine import evaluate
 from ..parallel.mesh import batch_sharding, make_mesh
 from ..utils.logging import get_logger, log_result
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import (load_checkpoint, save_checkpoint,
+                         wait_for_pending_saves)
 from .state import TrainState, create_train_state, make_optimizer
 from .step import make_train_step
 
@@ -81,8 +82,10 @@ class Trainer:
             if auc > self.best_auc:
                 self.best_auc = auc
                 save_checkpoint(self.cfg.ckpt_dir(), self.cfg.scale,
-                                self.state, best=True)
-        save_checkpoint(self.cfg.ckpt_dir(), self.cfg.scale, self.state)
+                                self.state, best=True,
+                                async_save=self.cfg.async_save)
+        save_checkpoint(self.cfg.ckpt_dir(), self.cfg.scale, self.state,
+                        async_save=self.cfg.async_save)
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
@@ -124,6 +127,7 @@ class Trainer:
                 self._maybe_eval_and_save()
             if cfg.step_budget and steps_done >= cfg.step_budget:
                 break
+        wait_for_pending_saves()
         final = self.evaluate_now()
         if final:
             logger.info("final eval: %s (best auc %.4f)", final,
