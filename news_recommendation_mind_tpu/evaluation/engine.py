@@ -72,14 +72,36 @@ def _collect(batches) -> Tuple[List, List, List]:
 
 def _gather_to_host0(impr_indexes, labels, preds):
     """Cross-process gather of python result lists (the reference's
-    dist.all_gather_object, utils/Manager.py:450-464) via multihost utils."""
+    dist.all_gather_object, utils/Manager.py:450-464).
+
+    Result lists are ragged, so each process pickles its triple into a
+    uint8 payload, payloads are length-padded and allgathered as arrays
+    (one collective), and every process unpickles all shards — process 0
+    uses them, others discard (same shape as the reference's gather).
+    """
     if jax.process_count() == 1:
         return impr_indexes, labels, preds
+    import pickle
+
     from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(
-        (impr_indexes, labels, preds), tiled=False)
-    # process_allgather works on arrays; fall back to broadcast of pytrees
-    return gathered
+
+    payload = np.frombuffer(
+        pickle.dumps((impr_indexes, labels, preds)), dtype=np.uint8)
+    lengths = multihost_utils.process_allgather(
+        np.asarray([len(payload)], np.int64))
+    max_len = int(np.max(lengths))
+    padded = np.zeros(max_len, np.uint8)
+    padded[:len(payload)] = payload
+    all_payloads = np.asarray(multihost_utils.process_allgather(padded))
+    all_lengths = np.asarray(lengths).reshape(-1)
+    out_impr, out_labels, out_preds = [], [], []
+    for row, n in zip(all_payloads.reshape(len(all_lengths), -1),
+                      all_lengths):
+        impr_i, labels_i, preds_i = pickle.loads(row[:int(n)].tobytes())
+        out_impr.extend(impr_i)
+        out_labels.extend(labels_i)
+        out_preds.extend(preds_i)
+    return out_impr, out_labels, out_preds
 
 
 def fast_eval_scores(model, params, news_table: np.ndarray, eval_loader,

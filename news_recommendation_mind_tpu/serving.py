@@ -1,0 +1,109 @@
+"""Online serving API: trained experiment → low-latency scorer.
+
+Productionises the reference's fast-eval protocol (reference
+utils/Manager.py:473-541, models/TwoTowerBaseModel.py:78-84) as a
+standalone component: the news table is encoded once at load, candidate
+and history representations come from table lookups, and only the user
+encoder runs per request — jitted once per candidate-count bucket so
+every request hits a compiled executable with static shapes.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .data.loader import NewsLoader, _bucket_for
+from .evaluation.engine import encode_all_news
+from .experiment import build_data, build_model, build_train_loader
+from .train import create_train_state, load_checkpoint, make_optimizer
+from .utils.logging import get_logger
+
+logger = get_logger("serving")
+
+
+class Recommender:
+    """Loads the best checkpoint of an experiment and serves rankings."""
+
+    def __init__(self, cfg: Config, split: str = "dev",
+                 buckets: Sequence[int] = (8, 32, 128, 512),
+                 checkpoint_step: Optional[int] = None):
+        self.cfg = cfg
+        data = build_data(cfg, splits=("train", split))
+        self.news = data.news[split]
+        self.nid2idx = self.news.nid2idx
+        self.model = build_model(cfg, data.vocab_size, data.user_num)
+        self.hidden_dim = getattr(self.model, "hidden_dim", cfg.hidden_dim)
+        self.his_size = cfg.his_size
+        self.buckets = sorted(buckets)
+
+        sample = next(iter(build_train_loader(cfg, data)))
+        params = self.model.init(jax.random.PRNGKey(cfg.seed), sample)
+        template = create_train_state(
+            params, make_optimizer(cfg.lr, cfg.bert_lr))
+        try:
+            state = load_checkpoint(cfg.ckpt_dir(), cfg.scale, template,
+                                    step=checkpoint_step,
+                                    best=checkpoint_step is None)
+            self.params = state.params
+            logger.info("serving from checkpoint step %d", int(state.step))
+        except FileNotFoundError:
+            self.params = params
+            logger.warning("no checkpoint found; serving fresh parameters")
+
+        news_loader = NewsLoader(self.news,
+                                 batch_size=cfg.batch_size_news,
+                                 signal_length=cfg.signal_length)
+        self.table = jnp.asarray(encode_all_news(
+            self.model, self.params, news_loader, self.hidden_dim))
+        self._score_fns: Dict[int, callable] = {}
+
+    def _score_fn(self, width: int):
+        if width not in self._score_fns:
+            model = self.model
+
+            def fn(params, table, cdd_idx, his_idx, his_mask, user_id):
+                cdd = jnp.take(table, cdd_idx, axis=0)[None]     # [1,W,H]
+                his = jnp.take(table, his_idx, axis=0)[None]     # [1,N,H]
+                user = model.apply(
+                    params, his, his_mask[None], user_id,
+                    method=type(model).encode_user_from_reprs)
+                d = jnp.asarray(cdd.shape[-1], cdd.dtype)
+                return jax.nn.sigmoid(
+                    jnp.einsum("bwh,buh->bw", cdd, user) / jnp.sqrt(d))[0]
+
+            self._score_fns[width] = jax.jit(fn)
+        return self._score_fns[width]
+
+    def score(self, history_nids: Sequence[str],
+              candidate_nids: Sequence[str],
+              user_id: Optional[int] = None) -> np.ndarray:
+        """Click probabilities for candidates given a click history."""
+        his = np.zeros(self.his_size, np.int32)
+        his_mask = np.zeros(self.his_size, np.float32)
+        kept = [self.nid2idx.get(n, 0) for n in history_nids][:self.his_size]
+        his[:len(kept)] = kept
+        his_mask[:max(len(kept), 1)] = 1.0
+
+        width = _bucket_for(len(candidate_nids), self.buckets)
+        cdd = np.zeros(width, np.int32)
+        ids = [self.nid2idx.get(n, 0) for n in candidate_nids]
+        cdd[:len(ids)] = ids
+        uid = jnp.asarray([user_id or 0], jnp.int32)
+        scores = self._score_fn(width)(
+            self.params, self.table, jnp.asarray(cdd), jnp.asarray(his),
+            jnp.asarray(his_mask), uid)
+        return np.asarray(scores)[:len(candidate_nids)]
+
+    def rank(self, history_nids: Sequence[str],
+             candidate_nids: Sequence[str],
+             user_id: Optional[int] = None,
+             top_k: Optional[int] = None) -> List[Tuple[str, float]]:
+        """Candidates sorted by click probability (descending)."""
+        scores = self.score(history_nids, candidate_nids, user_id)
+        order = np.argsort(-scores, kind="stable")
+        ranked = [(candidate_nids[i], float(scores[i])) for i in order]
+        return ranked[:top_k] if top_k else ranked

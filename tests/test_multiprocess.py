@@ -1,0 +1,98 @@
+"""Real two-process distributed test on CPU.
+
+Spawns two python processes that `jax.distributed.initialize` against a
+local coordinator, each holding 2 virtual CPU devices (4 global). They
+build the synthetic dataset with the single-writer protocol, run the
+sharded EvalLoader partition + the cross-process result gather, and
+process 0 checks the metrics equal a single-process run — the reference's
+multi-GPU eval path (Partition_Sampler + all_gather_object,
+utils/Manager.py:450-464) exercised end-to-end the JAX way.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+import numpy as np
+from news_recommendation_mind_tpu.config import Config
+from news_recommendation_mind_tpu.experiment import (
+    build_data, build_eval_loaders, build_model, build_train_loader,
+)
+from news_recommendation_mind_tpu.evaluation.engine import evaluate
+
+root = sys.argv[3]
+cfg = Config(scale="synthetic", data_root=os.path.join(root, "data"),
+             cache_root=os.path.join(root, "cache"), batch_size=8,
+             his_size=10, signal_length=12, hidden_dim=32,
+             embedding_dim=32, head_num=4, dtype="float32", seed=7)
+pidx = jax.process_index()
+data = build_data(cfg, process_index=pidx)
+model = build_model(cfg, data.vocab_size, data.user_num)
+params = model.init(jax.random.PRNGKey(0),
+                    next(iter(build_train_loader(cfg, data))))
+news_loader, eval_loader = build_eval_loaders(
+    cfg, data, "dev", num_shards=2, shard_index=pidx)
+metrics = evaluate(model, params, eval_loader, ["auc", "mean_mrr"],
+                   news_loader=news_loader, hidden_dim=cfg.hidden_dim)
+if pidx == 0:
+    with open(os.path.join(root, "metrics.json"), "w") as f:
+        json.dump(metrics, f)
+print("process", pidx, "done", metrics)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_eval_matches_single(tmp_path):
+    root = str(tmp_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker_path = os.path.join(root, "worker.py")
+    with open(worker_path, "w") as f:
+        f.write(WORKER)
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, worker_path, coord, str(i), root],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    with open(os.path.join(root, "metrics.json")) as f:
+        dist_metrics = json.load(f)
+
+    # single-process reference with the same params/init
+    import jax
+    from news_recommendation_mind_tpu.config import Config
+    from news_recommendation_mind_tpu.experiment import (
+        build_data, build_eval_loaders, build_model, build_train_loader,
+    )
+    from news_recommendation_mind_tpu.evaluation.engine import evaluate
+    cfg = Config(scale="synthetic", data_root=os.path.join(root, "data"),
+                 cache_root=os.path.join(root, "cache"), batch_size=8,
+                 his_size=10, signal_length=12, hidden_dim=32,
+                 embedding_dim=32, head_num=4, dtype="float32", seed=7)
+    data = build_data(cfg)
+    model = build_model(cfg, data.vocab_size, data.user_num)
+    params = model.init(jax.random.PRNGKey(0),
+                        next(iter(build_train_loader(cfg, data))))
+    news_loader, eval_loader = build_eval_loaders(cfg, data, "dev")
+    single = evaluate(model, params, eval_loader, ["auc", "mean_mrr"],
+                      news_loader=news_loader, hidden_dim=cfg.hidden_dim)
+    assert dist_metrics == single
