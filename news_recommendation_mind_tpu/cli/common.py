@@ -43,6 +43,10 @@ def _restored_state(cfg: Config, model, sample_batch):
 
 def run(cfg: Config, model_builder=build_model) -> dict:
     """Dispatch one experiment according to cfg.mode; returns metrics."""
+    if cfg.anomaly:
+        # the reference's --anomaly (torch autograd anomaly mode,
+        # utils/Manager.py:710-712): fail fast on the op producing NaNs
+        jax.config.update("jax_debug_nans", True)
     eval_split = "test" if cfg.mode == "test" else "dev"
     splits = ("train", eval_split)
     data = build_data(cfg, splits=splits)

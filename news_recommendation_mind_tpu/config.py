@@ -80,6 +80,7 @@ class Config:
     remat: bool = False              # jax.checkpoint the encoders
     profile_dir: str = ""            # write a jax.profiler trace here
     async_save: bool = False         # overlap checkpoint IO with training
+    anomaly: bool = False            # jax_debug_nans (reference --anomaly)
 
     # ---- bookkeeping --------------------------------------------------------
     world_size: int = 1              # number of processes (multi-host)

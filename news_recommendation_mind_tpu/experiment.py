@@ -110,6 +110,11 @@ def build_model(cfg: Config, vocab_size: int, user_num: int,
         variant = bert_variant(cfg.bert, vocab_size=vocab_size,
                                signal_length=cfg.signal_length,
                                num_layers=cfg.bert_layers or None)
+        if cfg.bert_dim != 768 and cfg.bert_dim != variant.hidden_size:
+            # width override (--bert-dim): scale FFN and heads with it
+            variant = variant.replace(hidden_size=cfg.bert_dim,
+                                      intermediate_size=4 * cfg.bert_dim,
+                                      num_heads=cfg.head_num)
         user_enc = make_user_encoder(cfg.encoderU,
                                      hidden_dim=variant.hidden_size,
                                      head_num=cfg.head_num,
@@ -123,11 +128,20 @@ def build_model(cfg: Config, vocab_size: int, user_num: int,
         variant = bert_variant(cfg.bert, vocab_size=vocab_size,
                                signal_length=cfg.signal_length,
                                num_layers=cfg.bert_layers or None)
+        if cfg.bert_dim != 768 and cfg.bert_dim != variant.hidden_size:
+            variant = variant.replace(hidden_size=cfg.bert_dim,
+                                      intermediate_size=4 * cfg.bert_dim,
+                                      num_heads=cfg.head_num)
         news_bert = None
         if cfg.bert == "reformer":
             news_variant = bert_variant("bert", vocab_size=vocab_size,
                                         signal_length=cfg.signal_length,
                                         num_layers=cfg.bert_layers or None)
+            if cfg.bert_dim != 768:
+                news_variant = news_variant.replace(
+                    hidden_size=cfg.bert_dim,
+                    intermediate_size=4 * cfg.bert_dim,
+                    num_heads=cfg.head_num)
             news_bert = BertModel(news_variant, dtype=dtype)
         return XFormer(bert=BertModel(variant, dtype=dtype),
                        hidden_dim=variant.hidden_size,

@@ -113,8 +113,11 @@ def test_concat_history_tokens():
 
 
 def _family_cfg(model, bert="bert", **kw):
+    # bert_dim=32 shrinks the encoder so CPU compile stays fast; the
+    # width-override path is itself part of the surface under test
     return Config(model=model, bert=bert, dtype="float32",
-                  signal_length=8, his_size=4, head_num=4, **kw)
+                  signal_length=8, his_size=4, head_num=4, bert_dim=32,
+                  bert_layers=2, **kw)
 
 
 @pytest.mark.parametrize("bert,encU", [("newsbert", "attn"),
