@@ -68,6 +68,7 @@ void batcher_destroy(void* ctx) { delete static_cast<Ctx*>(ctx); }
 // Output buffers are caller-allocated numpy arrays.
 void batcher_make_batch(void* vctx, const int64_t* idx, int64_t bs,
                         uint64_t epoch, int32_t shuffle_pos,
+                        int32_t emit_tokens,
                         int32_t* user_id, int32_t* cdd_id, int32_t* his_id,
                         int32_t* cdd_token, float* cdd_attn,
                         int32_t* his_token, float* his_attn,
@@ -129,7 +130,13 @@ void batcher_make_batch(void* vctx, const int64_t* idx, int64_t bs,
     label[i] = lab;
     user_id[i] = c.uindex[s];
 
-    // ---- token gathers -------------------------------------------------
+    // ---- token gathers (skipped in device-gather mode, where the token
+    // cache lives in HBM and ids are gathered on the TPU) ----------------
+    const int32_t* hrow_always = c.his_ids + s * his;
+    std::memcpy(his_id + i * his, hrow_always, his * sizeof(int32_t));
+    std::memcpy(his_mask_out + i * his, c.his_mask + s * his,
+                his * sizeof(float));
+    if (!emit_tokens) continue;
     for (int64_t j = 0; j < cdd; ++j) {
       const int64_t row = cdd_row[j];
       std::memcpy(cdd_token + (i * cdd + j) * sl,
@@ -137,10 +144,7 @@ void batcher_make_batch(void* vctx, const int64_t* idx, int64_t bs,
       std::memcpy(cdd_attn + (i * cdd + j) * sl,
                   c.news_attn + row * sl, sl * sizeof(float));
     }
-    const int32_t* hrow = c.his_ids + s * his;
-    std::memcpy(his_id + i * his, hrow, his * sizeof(int32_t));
-    std::memcpy(his_mask_out + i * his, c.his_mask + s * his,
-                his * sizeof(float));
+    const int32_t* hrow = hrow_always;
     for (int64_t j = 0; j < his; ++j) {
       const int64_t row = hrow[j];
       std::memcpy(his_token + (i * his + j) * sl,

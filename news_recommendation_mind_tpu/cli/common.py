@@ -54,11 +54,18 @@ def run(cfg: Config, model_builder=build_model) -> dict:
     pretrained = load_pretrained_embedding(cfg, data)
     model = model_builder(cfg, data.vocab_size, data.user_num,
                           pretrained_embedding=pretrained)
-    train_loader = build_train_loader(cfg, data)
-    sample_batch = next(iter(train_loader))
+    # each process loads its contiguous shard; the mesh step consumes the
+    # assembled global batch (reference DistributedSampler equivalent)
+    train_loader = build_train_loader(
+        cfg, data, num_shards=jax.process_count(),
+        shard_index=jax.process_index())
+    from ..data.loader import ensure_tokens
+    sample_batch = ensure_tokens(next(iter(train_loader)), train_loader)
 
     if cfg.mode == "train":
-        news_loader, eval_loader = build_eval_loaders(cfg, data, "dev")
+        news_loader, eval_loader = build_eval_loaders(
+            cfg, data, "dev", num_shards=jax.process_count(),
+            shard_index=jax.process_index())
         trainer = Trainer(cfg, model, train_loader, news_loader,
                           eval_loader, sample_batch=sample_batch)
         return trainer.train()
@@ -66,7 +73,9 @@ def run(cfg: Config, model_builder=build_model) -> dict:
     state = _restored_state(cfg, model, sample_batch)
     hidden_dim = getattr(model, "hidden_dim", cfg.hidden_dim)
     if cfg.mode == "dev":
-        news_loader, eval_loader = build_eval_loaders(cfg, data, "dev")
+        news_loader, eval_loader = build_eval_loaders(
+            cfg, data, "dev", num_shards=jax.process_count(),
+            shard_index=jax.process_index())
         metrics = evaluate(model, state.params, eval_loader,
                            cfg.metric_list, news_loader=news_loader,
                            hidden_dim=hidden_dim, fast=cfg.fast,
@@ -75,7 +84,9 @@ def run(cfg: Config, model_builder=build_model) -> dict:
         print(metrics)
         return metrics
     if cfg.mode == "test":
-        news_loader, eval_loader = build_eval_loaders(cfg, data, "test")
+        news_loader, eval_loader = build_eval_loaders(
+            cfg, data, "test", num_shards=jax.process_count(),
+            shard_index=jax.process_index())
         path = write_predictions(model, state.params, eval_loader,
                                  cfg.result_dir(int(state.step)),
                                  news_loader=news_loader,

@@ -81,6 +81,8 @@ class Config:
     profile_dir: str = ""            # write a jax.profiler trace here
     async_save: bool = False         # overlap checkpoint IO with training
     anomaly: bool = False            # jax_debug_nans (reference --anomaly)
+    device_gather: bool = True       # keep token cache in HBM, ship ids only
+    steps_per_call: int = 1          # fuse K train steps per device call
 
     # ---- bookkeeping --------------------------------------------------------
     world_size: int = 1              # number of processes (multi-host)

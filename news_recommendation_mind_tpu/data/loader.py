@@ -66,8 +66,13 @@ class TrainLoader:
                  signal_length: int, shuffle_pos: bool = False,
                  descend_history: bool = False, seed: int = 42,
                  num_shards: int = 1, shard_index: int = 0,
-                 drop_last: bool = True, backend: str = "auto"):
+                 drop_last: bool = True, backend: str = "auto",
+                 emit_tokens: bool = True):
         assert behaviors.mode == "train"
+        # emit_tokens=False: device-gather mode — batches carry ids only;
+        # the token cache lives in HBM and the train step gathers there
+        # (60x less host->device traffic; see train/step.py news_table)
+        self.emit_tokens = emit_tokens
         self.news_tokens, self.news_attn = news.truncated(signal_length)
         self.news_attn = self.news_attn.astype(np.float32)
         self.b = behaviors
@@ -139,9 +144,15 @@ class TrainLoader:
             idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
             if self._native is not None:
                 yield self._native.make_batch(idx, self.epoch,
-                                              self.shuffle_pos)
+                                              self.shuffle_pos,
+                                              self.emit_tokens)
             else:
-                yield self._make_batch(idx, rng)
+                batch = self._make_batch(idx, rng)
+                if not self.emit_tokens:
+                    for k in ("cdd_token", "cdd_attn", "his_token",
+                              "his_attn"):
+                        del batch[k]
+                yield batch
 
     def _make_batch(self, idx: np.ndarray, rng: np.random.Generator) -> Batch:
         bs = len(idx)
@@ -325,20 +336,39 @@ class HistoryLoader:
             }
 
 
+def ensure_tokens(batch: Batch, loader: "TrainLoader") -> Batch:
+    """Host-side token gather for an ids-only batch (device-gather mode);
+    used where a token-ful batch is needed once, e.g. model.init."""
+    if "cdd_token" in batch:
+        return batch
+    batch = dict(batch)
+    batch["cdd_token"] = loader.news_tokens[batch["cdd_id"]]
+    batch["cdd_attn"] = loader.news_attn[batch["cdd_id"]]
+    batch["his_token"] = loader.news_tokens[batch["his_id"]]
+    batch["his_attn"] = loader.news_attn[batch["his_id"]]
+    return batch
+
+
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Double-buffered host→device prefetch.
 
     Keeps `size` batches in flight ahead of the consumer; with a
     NamedSharding, batches are laid out across the mesh as they land
-    (the jit'd step then consumes them without relayout).
+    (the jit'd step then consumes them without relayout). In
+    multi-process mode each process feeds its local shard and the global
+    array is assembled across hosts.
     """
     import collections
     import jax
 
     queue = collections.deque()
+    multiprocess = jax.process_count() > 1
 
     def _put(batch):
         if sharding is not None:
+            if multiprocess:
+                return {k: jax.make_array_from_process_local_data(
+                    sharding, v) for k, v in batch.items()}
             return {k: jax.device_put(v, sharding) for k, v in batch.items()}
         return jax.device_put(batch)
 

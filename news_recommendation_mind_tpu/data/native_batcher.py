@@ -74,7 +74,8 @@ def get_library():
     lib.batcher_create.restype = ptr
     lib.batcher_create.argtypes = [ptr] * 8 + [i64, i64, i64, i64, u64]
     lib.batcher_destroy.argtypes = [ptr]
-    lib.batcher_make_batch.argtypes = [ptr, ptr, i64, u64, i32] + [ptr] * 10
+    lib.batcher_make_batch.argtypes = [ptr, ptr, i64, u64, i32, i32] \
+        + [ptr] * 10
     _LIB = lib
     return _LIB
 
@@ -123,27 +124,35 @@ class NativeBatcher:
             pass
 
     def make_batch(self, idx: np.ndarray, epoch: int,
-                   shuffle_pos: bool = False) -> dict:
+                   shuffle_pos: bool = False,
+                   emit_tokens: bool = True) -> dict:
         bs = len(idx)
         cdd = self.npratio + 1
         idx = np.ascontiguousarray(idx, np.int64)
+        tok_shape = (bs, cdd, self.sl) if emit_tokens else (1, 1, 1)
+        his_tok_shape = (bs, self.his_size, self.sl) if emit_tokens \
+            else (1, 1, 1)
         out = {
             "user_id": np.empty(bs, np.int32),
             "cdd_id": np.empty((bs, cdd), np.int32),
             "his_id": np.empty((bs, self.his_size), np.int32),
-            "cdd_token": np.empty((bs, cdd, self.sl), np.int32),
-            "cdd_attn": np.empty((bs, cdd, self.sl), np.float32),
-            "his_token": np.empty((bs, self.his_size, self.sl), np.int32),
-            "his_attn": np.empty((bs, self.his_size, self.sl), np.float32),
+            "cdd_token": np.empty(tok_shape, np.int32),
+            "cdd_attn": np.empty(tok_shape, np.float32),
+            "his_token": np.empty(his_tok_shape, np.int32),
+            "his_attn": np.empty(his_tok_shape, np.float32),
             "cdd_mask": np.empty((bs, cdd), np.float32),
             "his_mask": np.empty((bs, self.his_size), np.float32),
             "label": np.empty(bs, np.int32),
         }
         self._lib.batcher_make_batch(
             self._ctx, _cptr(idx), bs, epoch, int(shuffle_pos),
+            int(emit_tokens),
             _cptr(out["user_id"]), _cptr(out["cdd_id"]),
             _cptr(out["his_id"]), _cptr(out["cdd_token"]),
             _cptr(out["cdd_attn"]), _cptr(out["his_token"]),
             _cptr(out["his_attn"]), _cptr(out["cdd_mask"]),
             _cptr(out["his_mask"]), _cptr(out["label"]))
+        if not emit_tokens:
+            for k in ("cdd_token", "cdd_attn", "his_token", "his_attn"):
+                del out[k]
         return out

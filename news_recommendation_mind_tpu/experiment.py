@@ -162,14 +162,17 @@ def build_model(cfg: Config, vocab_size: int, user_num: int,
 
 
 def build_train_loader(cfg: Config, data: DataBundle,
-                       num_shards: int = 1, shard_index: int = 0
-                       ) -> TrainLoader:
+                       num_shards: int = 1, shard_index: int = 0,
+                       emit_tokens: Optional[bool] = None) -> TrainLoader:
+    if emit_tokens is None:
+        emit_tokens = not cfg.device_gather
     return TrainLoader(
         data.news["train"], data.behaviors["train"],
         batch_size=cfg.batch_size, npratio=cfg.npratio,
         his_size=cfg.his_size, signal_length=cfg.signal_length,
         shuffle_pos=cfg.shuffle_pos, descend_history=cfg.descend_history,
-        seed=cfg.seed, num_shards=num_shards, shard_index=shard_index)
+        seed=cfg.seed, num_shards=num_shards, shard_index=shard_index,
+        emit_tokens=emit_tokens)
 
 
 def build_eval_loaders(cfg: Config, data: DataBundle, split: str = "dev",

@@ -40,7 +40,9 @@ class Recommender:
         self.his_size = cfg.his_size
         self.buckets = sorted(buckets)
 
-        sample = next(iter(build_train_loader(cfg, data)))
+        from .data.loader import ensure_tokens
+        sample_loader = build_train_loader(cfg, data)
+        sample = ensure_tokens(next(iter(sample_loader)), sample_loader)
         params = self.model.init(jax.random.PRNGKey(cfg.seed), sample)
         template = create_train_state(
             params, make_optimizer(cfg.lr, cfg.bert_lr))

@@ -16,16 +16,29 @@ import jax
 import numpy as np
 
 from ..config import Config
-from ..data.loader import prefetch_to_device
+from ..data.loader import ensure_tokens, prefetch_to_device
 from ..evaluation.engine import evaluate
 from ..parallel.mesh import batch_sharding, make_mesh
 from ..utils.logging import get_logger, log_result
 from .checkpoint import (load_checkpoint, save_checkpoint,
                          wait_for_pending_saves)
 from .state import TrainState, create_train_state, make_optimizer
-from .step import make_train_step
+from .step import make_train_multistep, make_train_step
 
 logger = get_logger("train")
+
+
+def _superbatches(iterator, k: int):
+    """Group K consecutive batches into one [K, ...]-stacked superbatch."""
+    import numpy as _np
+    group = []
+    for batch in iterator:
+        group.append(batch)
+        if len(group) == k:
+            yield {key: _np.stack([b[key] for b in group])
+                   for key in group[0]}
+            group = []
+    # drop the ragged tail: fixed shapes keep one compiled executable
 
 
 class Trainer:
@@ -48,6 +61,7 @@ class Trainer:
             warmup=cfg.warmup, total_steps=total_steps)
         if sample_batch is None:
             sample_batch = next(iter(train_loader))
+        sample_batch = ensure_tokens(sample_batch, train_loader)
         params = model.init(jax.random.PRNGKey(cfg.seed),
                             {k: v for k, v in sample_batch.items()})
         self.state = create_train_state(params, self.optimizer)
@@ -55,12 +69,25 @@ class Trainer:
             self.state = load_checkpoint(cfg.ckpt_dir(), cfg.scale,
                                          self.state, step=cfg.checkpoint)
             logger.info("resumed from step %d", int(self.state.step))
-        self.train_step = make_train_step(model, self.optimizer,
-                                          mesh=self.mesh, donate=cfg.donate,
-                                          remat=cfg.remat)
+        news_table = None
+        if cfg.device_gather and getattr(train_loader, "emit_tokens",
+                                         True) is False:
+            news_table = (train_loader.news_tokens, train_loader.news_attn)
+        if cfg.steps_per_call > 1:
+            self.train_step = make_train_multistep(
+                model, self.optimizer, steps_per_call=cfg.steps_per_call,
+                mesh=self.mesh, donate=cfg.donate, remat=cfg.remat,
+                news_table=news_table)
+        else:
+            self.train_step = make_train_step(
+                model, self.optimizer, mesh=self.mesh, donate=cfg.donate,
+                remat=cfg.remat, news_table=news_table)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.best_auc = -1.0
         self.data_sharding = batch_sharding(self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # superbatches: leading step axis replicated, batch axis sharded
+        self.super_sharding = NamedSharding(self.mesh, P(None, "data"))
 
     # ------------------------------------------------------------------
     def evaluate_now(self) -> Dict[str, float]:
@@ -95,9 +122,13 @@ class Trainer:
         examples = 0
         for epoch in range(cfg.epochs):
             self.train_loader.set_epoch(epoch)
-            it = prefetch_to_device(iter(self.train_loader),
-                                    size=cfg.prefetch,
-                                    sharding=self.data_sharding)
+            source = iter(self.train_loader)
+            if cfg.steps_per_call > 1:
+                source = _superbatches(source, cfg.steps_per_call)
+            it = prefetch_to_device(source, size=cfg.prefetch,
+                                    sharding=(self.super_sharding
+                                              if cfg.steps_per_call > 1
+                                              else self.data_sharding))
             for batch in it:
                 if cfg.profile_dir and steps_done == 10:
                     # capture steps 10-14 (past compile/warmup); view with
@@ -110,8 +141,8 @@ class Trainer:
                     jax.profiler.stop_trace()
                     logger.info("profiler trace written to %s",
                                 cfg.profile_dir)
-                steps_done += 1
-                examples += cfg.batch_size
+                steps_done += cfg.steps_per_call
+                examples += cfg.batch_size * cfg.steps_per_call
                 if steps_done % cfg.interval == 0:
                     loss = float(metrics["loss"])
                     rate = examples / (time.time() - t0)

@@ -38,8 +38,10 @@ cfg = Config(scale="synthetic", data_root=os.path.join(root, "data"),
 pidx = jax.process_index()
 data = build_data(cfg, process_index=pidx)
 model = build_model(cfg, data.vocab_size, data.user_num)
+from news_recommendation_mind_tpu.data.loader import ensure_tokens
+_l = build_train_loader(cfg, data)
 params = model.init(jax.random.PRNGKey(0),
-                    next(iter(build_train_loader(cfg, data))))
+                    ensure_tokens(next(iter(_l)), _l))
 news_loader, eval_loader = build_eval_loaders(
     cfg, data, "dev", num_shards=2, shard_index=pidx)
 metrics = evaluate(model, params, eval_loader, ["auc", "mean_mrr"],
@@ -90,8 +92,10 @@ def test_two_process_eval_matches_single(tmp_path):
                  embedding_dim=32, head_num=4, dtype="float32", seed=7)
     data = build_data(cfg)
     model = build_model(cfg, data.vocab_size, data.user_num)
+    from news_recommendation_mind_tpu.data.loader import ensure_tokens
+    _l = build_train_loader(cfg, data)
     params = model.init(jax.random.PRNGKey(0),
-                        next(iter(build_train_loader(cfg, data))))
+                        ensure_tokens(next(iter(_l)), _l))
     news_loader, eval_loader = build_eval_loaders(cfg, data, "dev")
     single = evaluate(model, params, eval_loader, ["auc", "mean_mrr"],
                       news_loader=news_loader, hidden_dim=cfg.hidden_dim)

@@ -31,6 +31,7 @@ def small_config(tmp, **kw):
         batch_size=16, his_size=10, signal_length=12, hidden_dim=32,
         embedding_dim=32, head_num=4, npratio=4, epochs=1,
         lr=1e-3, dtype="float32", interval=50, impr_size=2000,
+        device_gather=False,  # these tests drive the host-gather path
     )
     base.update(kw)
     return Config(**base)
@@ -181,3 +182,35 @@ def test_write_predictions_writer(setup, tmp_path):
     assert first.startswith("1 [") and first.endswith("]")
     ranks = sorted(int(r) for r in first.split("[")[1][:-1].split(","))
     assert ranks == list(range(1, 21))  # a permutation of 1..20
+
+
+def test_device_gather_step_matches_host_gather(setup):
+    """Ids-only batches + in-HBM token gather == token-ful batches."""
+    import jax
+    from news_recommendation_mind_tpu.data.loader import ensure_tokens
+    tmp, cfg, data, model = setup
+    host_loader = build_train_loader(cfg, data)
+    dev_loader = build_train_loader(cfg.replace(device_gather=True), data)
+    assert dev_loader.emit_tokens is False
+    host_batch = next(iter(host_loader))
+    dev_batch = next(iter(dev_loader))
+    assert "cdd_token" not in dev_batch
+    params = model.init(jax.random.PRNGKey(0),
+                        ensure_tokens(dict(dev_batch), dev_loader))
+    opt = make_optimizer(cfg.lr, cfg.bert_lr)
+    rng = jax.random.PRNGKey(0)
+    s_host, m_host = make_train_step(model, opt, donate=False)(
+        create_train_state(params, opt), host_batch, rng)
+    s_dev, m_dev = make_train_step(
+        model, opt, donate=False,
+        news_table=(dev_loader.news_tokens, dev_loader.news_attn))(
+        create_train_state(params, opt), dev_batch, rng)
+    # identical example order; negatives come from the same native RNG
+    # stream, so the steps see the same data
+    np.testing.assert_array_equal(np.asarray(host_batch["cdd_id"]),
+                                  np.asarray(dev_batch["cdd_id"]))
+    np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_dev.params),
+                    jax.tree_util.tree_leaves(s_host.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
