@@ -83,6 +83,8 @@ class Config:
     anomaly: bool = False            # jax_debug_nans (reference --anomaly)
     device_gather: bool = True       # keep token cache in HBM, ship ids only
     steps_per_call: int = 1          # fuse K train steps per device call
+    nan_recover: int = 0             # auto-restore from ckpt on NaN loss
+                                     # up to N times (0 = fail fast)
 
     # ---- bookkeeping --------------------------------------------------------
     world_size: int = 1              # number of processes (multi-host)

@@ -20,7 +20,7 @@ from ..data.loader import ensure_tokens, prefetch_to_device
 from ..evaluation.engine import evaluate
 from ..parallel.mesh import batch_sharding, make_mesh
 from ..utils.logging import get_logger, log_result
-from .checkpoint import (load_checkpoint, save_checkpoint,
+from .checkpoint import (latest_step, load_checkpoint, save_checkpoint,
                          wait_for_pending_saves)
 from .state import TrainState, create_train_state, make_optimizer
 from .step import make_train_multistep, make_train_step
@@ -84,6 +84,7 @@ class Trainer:
                 remat=cfg.remat, news_table=news_table)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.best_auc = -1.0
+        self.nan_recoveries = 0
         self.data_sharding = batch_sharding(self.mesh)
         from jax.sharding import NamedSharding, PartitionSpec as P
         # superbatches: leading step axis replicated, batch axis sharded
@@ -113,6 +114,28 @@ class Trainer:
                                 async_save=self.cfg.async_save)
         save_checkpoint(self.cfg.ckpt_dir(), self.cfg.scale, self.state,
                         async_save=self.cfg.async_save)
+
+    def _handle_nan(self) -> None:
+        """Failure recovery (SURVEY §5.3 gap): on a non-finite loss,
+        restore the newest checkpoint and continue — bounded by
+        cfg.nan_recover; fail fast otherwise/afterwards."""
+        self.nan_recoveries += 1
+        cfg = self.cfg
+        step = latest_step(cfg.ckpt_dir(), cfg.scale)
+        if cfg.nan_recover and self.nan_recoveries <= cfg.nan_recover \
+                and step is not None:
+            wait_for_pending_saves()
+            logger.warning(
+                "non-finite loss; restoring checkpoint step %d "
+                "(recovery %d/%d)", step, self.nan_recoveries,
+                cfg.nan_recover)
+            self.state = load_checkpoint(cfg.ckpt_dir(), cfg.scale,
+                                         jax.device_get(self.state),
+                                         step=step)
+            return
+        raise FloatingPointError(
+            "non-finite training loss (use --anomaly to locate the op, "
+            "or --nan_recover N to auto-restore from checkpoints)")
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
@@ -149,6 +172,8 @@ class Trainer:
                     logger.info(
                         "epoch %d step %d loss %.4f (%.0f ex/s)",
                         epoch, int(self.state.step), loss, rate)
+                    if not np.isfinite(loss):
+                        self._handle_nan()
                 if cfg.save_step and steps_done % cfg.save_step == 0 \
                         and steps_done >= cfg.hold_step:
                     self._maybe_eval_and_save()
