@@ -38,8 +38,25 @@ WARMUP_STEPS = 5
 MEASURE_STEPS = 30
 
 
+def _wait_for_devices(retries: int = 6, delay_s: float = 20.0):
+    """The dev chip is exclusive; if another process still holds it,
+    back off briefly instead of failing the round's benchmark."""
+    import jax
+    for attempt in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if attempt == retries - 1:
+                raise
+            print(f"# devices unavailable ({e}); retrying in {delay_s}s",
+                  flush=True)
+            time.sleep(delay_s)
+
+
 def main() -> None:
     import jax
+
+    _wait_for_devices()
 
     from news_recommendation_mind_tpu.models import (
         TwoTower, WordEmbedding, make_news_encoder, make_user_encoder,

@@ -11,6 +11,7 @@ from __future__ import annotations
 import time
 
 import jax
+import numpy as np
 
 from ..config import Config
 from ..evaluation.engine import evaluate, write_predictions
@@ -93,6 +94,25 @@ def run(cfg: Config, model_builder=build_model) -> dict:
                                  hidden_dim=hidden_dim, fast=cfg.fast)
         logger.info("predictions written to %s", path)
         return {"prediction_path": path}
+    if cfg.mode == "inspect":
+        # the reference declares this mode but its implementation is
+        # missing (plm.py:48 calls an undefined method); here it decodes
+        # a few training samples and summarises the parameter tree
+        tok = data.tokenizer
+        inv = {v: k for k, v in getattr(tok, "vocab", {}).items()}
+        batch = sample_batch
+        print(f"model: {cfg.name}")
+        n_params = sum(int(np.prod(p.shape)) for p in
+                       jax.tree_util.tree_leaves(state.params))
+        print(f"parameters: {n_params:,}")
+        for i in range(min(2, len(batch["label"]))):
+            pos = int(batch["label"][i])
+            toks = [int(t) for t in np.asarray(batch["cdd_token"][i, pos])
+                    if t != 0]
+            words = " ".join(inv.get(t, f"<{t}>") for t in toks[:16])
+            print(f"sample {i}: user={int(batch['user_id'][i])} "
+                  f"positive=[{words} ...]")
+        return {"n_params": n_params}
     if cfg.mode == "encode":
         loader = build_history_loader(cfg, data, "dev")
         encode = jax.jit(lambda p, b: model.apply(
