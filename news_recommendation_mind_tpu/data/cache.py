@@ -112,8 +112,22 @@ def build_news_cache(news_tsv: str, cache_dir: str, tokenizer,
         n = len(nids)
         toks = np.zeros((n + 1, max_token_length), dtype=np.int32)
         attn = np.zeros((n + 1, max_token_length), dtype=np.uint8)
-        for i, text in enumerate(texts):
-            toks[i + 1], attn[i + 1] = tokenizer.encode(text, max_token_length)
+        encoded = None
+        from .tokenizer import WordTokenizer
+        if isinstance(tokenizer, WordTokenizer):
+            # native (C++/OpenMP) batch tokenization for the one-time
+            # cache build; Python fallback below is semantically identical
+            try:
+                from .native_tokenizer import encode_corpus
+                encoded = encode_corpus(tokenizer, texts, max_token_length)
+            except Exception:
+                encoded = None
+        if encoded is not None:
+            toks[1:], attn[1:] = encoded
+        else:
+            for i, text in enumerate(texts):
+                toks[i + 1], attn[i + 1] = tokenizer.encode(
+                    text, max_token_length)
         np.savez(npz_path, tokens=toks, attn_mask=attn,
                  sep_token_id=np.int32(tokenizer.sep_token_id))
         with open(map_path, "w", encoding="utf-8") as f:

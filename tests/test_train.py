@@ -214,3 +214,23 @@ def test_device_gather_step_matches_host_gather(setup):
     for a, b in zip(jax.tree_util.tree_leaves(s_dev.params),
                     jax.tree_util.tree_leaves(s_host.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_trainer_resume_continues_from_step(setup):
+    """--checkpoint N restores params, opt state, and the step counter
+    (the reference loses the step/scheduler on resume)."""
+    tmp, cfg, data, model = setup
+    cfg = cfg.replace(encoderU="attn", step_budget=10, save_step=10,
+                      ckpt_root=os.path.join(tmp, "ckpt_resume"))
+    model2 = build_model(cfg, data.vocab_size, data.user_num)
+    loader = build_train_loader(cfg, data)
+    news_loader, eval_loader = build_eval_loaders(cfg, data)
+    t1 = Trainer(cfg, model2, loader, news_loader, eval_loader)
+    t1.train()
+    assert latest_step(cfg.ckpt_dir(), cfg.scale) == 10
+
+    cfg2 = cfg.replace(checkpoint=10, step_budget=5)
+    t2 = Trainer(cfg2, model2, loader, news_loader, eval_loader)
+    assert int(t2.state.step) == 10
+    t2.train()
+    assert int(t2.state.step) == 15
