@@ -13,6 +13,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is relative to BASELINE_EXAMPLES_PER_S, the round-1
 measurement on this repo's TPU v5e chip (the reference publishes no
 numbers — BASELINE.md).
+
+Measurement honesty: on this machine's remote (axon-tunnel) TPU backend,
+``jax.block_until_ready`` returns without draining queued execution, so
+naive timing overstates throughput by orders of magnitude. The only
+reliable synchronization point is a device→host value transfer, so each
+timed window ends with ``float(loss)`` and the transfer is inside the
+measured interval (its ~25ms round trip is amortized over the window).
 """
 from __future__ import annotations
 
@@ -21,11 +28,10 @@ import time
 
 import numpy as np
 
-# Round-1 measured value on the single TPU v5e chip (2026-08-17, batch
-# 256); vs_baseline tracks speedups across rounds relative to this. The
-# remote-tunnel dispatch latency dominates small batches, so the bench
-# batch is 1024 (the production-scale regime; ~4.8M examples/s there).
-BASELINE_EXAMPLES_PER_S = 828632.3
+# Honest round-1 measurement on the single TPU v5e chip (2026-08-18,
+# batch 1024, host-synced via float(loss) — see module docstring).
+# vs_baseline tracks speedups across rounds relative to this.
+BASELINE_EXAMPLES_PER_S = 6980.0
 
 BATCH_SIZE = 1024
 VOCAB = 30522
@@ -103,12 +109,14 @@ def main() -> None:
 
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, device_batch, key)
-    jax.block_until_ready(metrics["loss"])
+    # block_until_ready does NOT drain the remote axon tunnel; a
+    # device->host transfer is the only honest sync (module docstring)
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, metrics = step(state, device_batch, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     examples_per_s = BATCH_SIZE * MEASURE_STEPS / dt

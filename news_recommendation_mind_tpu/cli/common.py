@@ -119,11 +119,13 @@ def run(cfg: Config, model_builder=build_model) -> dict:
             p, b["his_token"], b["his_attn"], b["his_mask"], b["user_id"],
             method=type(model).encode_user))
         batch = next(iter(loader))
-        encode(state.params, batch).block_until_ready()  # compile
+        # a device->host transfer is the only sync that provably drains
+        # the remote tunnel backend (block_until_ready does not)
+        float(encode(state.params, batch)[0, 0])  # compile
         n = 0
         t0 = time.time()
         for batch in loader:
-            encode(state.params, batch).block_until_ready()
+            float(encode(state.params, batch)[0, 0])
             n += len(batch["user_id"])
         dt = time.time() - t0
         logger.info("encoded %d users in %.3fs (%.1f users/s)", n, dt,

@@ -160,7 +160,7 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, batch,
                                                       self.rng)
                 if cfg.profile_dir and steps_done == 14:
-                    jax.block_until_ready(metrics["loss"])
+                    float(metrics["loss"])  # drains the device (tunnel-safe)
                     jax.profiler.stop_trace()
                     logger.info("profiler trace written to %s",
                                 cfg.profile_dir)
