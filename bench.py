@@ -65,7 +65,10 @@ def main() -> None:
     _wait_for_devices()
 
     from news_recommendation_mind_tpu.models import (
-        TwoTower, WordEmbedding, make_news_encoder, make_user_encoder,
+        TwoTower, make_user_encoder,
+    )
+    from news_recommendation_mind_tpu.models.news_encoders import (
+        FusedCnnNewsEncoder,
     )
     from news_recommendation_mind_tpu.parallel import make_mesh, shard_batch
     from news_recommendation_mind_tpu.train import (
@@ -73,11 +76,12 @@ def main() -> None:
     )
     import jax.numpy as jnp
 
+    # the production build_model path: embedding fused through the conv
+    # (exact — see FusedCnnNewsEncoder; cfg.fused_embedding default)
     model = TwoTower(
-        embedding=WordEmbedding(VOCAB, EMBEDDING_DIM, dtype=jnp.bfloat16),
-        news_encoder=make_news_encoder(
-            "cnn", hidden_dim=HIDDEN_DIM, embedding_dim=EMBEDDING_DIM,
-            head_num=12, dropout_p=0.2, dtype=jnp.bfloat16),
+        embedding=None,
+        news_encoder=FusedCnnNewsEncoder(VOCAB, EMBEDDING_DIM, HIDDEN_DIM,
+                                         dtype=jnp.bfloat16),
         user_encoder=make_user_encoder(
             "lstm", hidden_dim=HIDDEN_DIM, head_num=12, dtype=jnp.bfloat16),
         hidden_dim=HIDDEN_DIM,

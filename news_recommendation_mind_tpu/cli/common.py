@@ -94,6 +94,17 @@ def run(cfg: Config, model_builder=build_model) -> dict:
                                  hidden_dim=hidden_dim, fast=cfg.fast)
         logger.info("predictions written to %s", path)
         return {"prediction_path": path}
+    if cfg.mode == "analyse":
+        # the reference declares this mode but never implements a handler
+        # (utils/Manager.py:45 lists it; no dispatch exists); here it
+        # reports corpus statistics (utils/data_tools.statistic_mind,
+        # the counterpart of reference utils/utils.py:140-190)
+        from ..experiment import split_dir
+        from ..utils.data_tools import statistic_mind
+        stats = statistic_mind(split_dir(cfg, "train"))
+        for k, v in stats.items():
+            print(f"{k}: {v}")
+        return stats
     if cfg.mode == "inspect":
         # the reference declares this mode but its implementation is
         # missing (plm.py:48 calls an undefined method); here it decodes

@@ -82,6 +82,8 @@ class Config:
     async_save: bool = False         # overlap checkpoint IO with training
     anomaly: bool = False            # jax_debug_nans (reference --anomaly)
     device_gather: bool = True       # keep token cache in HBM, ship ids only
+    fused_embedding: bool = True     # fuse embedding through the CNN conv
+                                     # (exact; cnn encoder, unsharded table)
     steps_per_call: int = 1          # fuse K train steps per device call
     nan_recover: int = 0             # auto-restore from ckpt on NaN loss
                                      # up to N times (0 = fail fast)

@@ -207,12 +207,16 @@ def build_behaviors(behaviors_tsv: str, nid2idx: Dict[str, int], mode: str,
     """
     if cache_dir is not None:
         pkl = os.path.join(cache_dir, f"behaviors_{mode}_{impr_size}.npz")
-        if not os.path.exists(os.path.join(cache_dir, ".complete_" + mode)):
+        # the marker must be keyed by impr_size too: a cache built at one
+        # impr_size must not satisfy a request for another (the npz file
+        # name is per-impr_size, reference utils/MIND.py:37-45)
+        marker = os.path.join(cache_dir,
+                              f".complete_{mode}_{impr_size}")
+        if not os.path.exists(marker):
             def _build():
                 b = _parse_behaviors(behaviors_tsv, nid2idx, mode, impr_size,
                                      uid2idx)
                 _save_behaviors(pkl, b)
-            marker = os.path.join(cache_dir, ".complete_" + mode)
             if process_index == 0:
                 os.makedirs(cache_dir, exist_ok=True)
                 _build()

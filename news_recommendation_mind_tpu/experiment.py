@@ -148,6 +148,20 @@ def build_model(cfg: Config, vocab_size: int, user_num: int,
                        max_length=variant.max_length,
                        max_length_per_history=variant.max_length_per_history,
                        news_bert=news_bert, debias=cfg.debias)
+    if cfg.encoderN == "cnn" and cfg.fused_embedding:
+        # exact algebraic fusion of lookup+conv (FusedCnnNewsEncoder
+        # docstring): ~55x fewer conv FLOPs at reference shapes
+        from .models.news_encoders import FusedCnnNewsEncoder
+        news_enc = FusedCnnNewsEncoder(vocab_size, cfg.embedding_dim,
+                                       cfg.hidden_dim,
+                                       pretrained=pretrained_embedding,
+                                       dtype=dtype)
+        user_enc = make_user_encoder(cfg.encoderU,
+                                     hidden_dim=cfg.hidden_dim,
+                                     head_num=cfg.head_num,
+                                     user_num=user_num, dtype=dtype)
+        return TwoTower(embedding=None, news_encoder=news_enc,
+                        user_encoder=user_enc, hidden_dim=cfg.hidden_dim)
     embedding = WordEmbedding(vocab_size, cfg.embedding_dim,
                               pretrained=pretrained_embedding, dtype=dtype)
     news_enc = make_news_encoder(cfg.encoderN, hidden_dim=cfg.hidden_dim,

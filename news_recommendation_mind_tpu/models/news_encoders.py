@@ -14,10 +14,12 @@ MXU-friendly [B*N, S, ·] problem, then unfold at the end:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.rnn import lstm_scan
 from .attention import MultiheadAttention, make_attn_mask, scaled_dp_attention
@@ -55,6 +57,99 @@ class CnnNewsEncoder(nn.Module):
                                  name="word_query_project")(x))
         repr_ = _query_pool(query, keys, x, attn_mask)
         return x, repr_
+
+
+class FusedCnnNewsEncoder(nn.Module):
+    """CNN news encoder with the embedding lookup fused through the conv.
+
+    The standard path (WordEmbedding + CnnNewsEncoder) is
+    take(table, ids) → Conv1d(k=3, SAME) → ReLU → query pooling. Both the
+    lookup and the conv are linear in the one-hot token, so the conv can
+    be pre-applied to the *vocabulary* instead of to every token
+    occurrence: P = einsum('ve,keh->vkh', table, kernel) → [V, 3, H];
+    token s then needs one 3H-wide gather plus a shift-add
+    (y[s] = P[ids[s-1], 0] + P[ids[s], 1] + P[ids[s+1], 2] + bias).
+
+    At reference shapes (batch 1024 × 55 news × 30 tokens ≈ 1.7M token
+    occurrences/step vs V≈30k vocabulary rows) this moves the conv's
+    ~1.2 TFLOP/step from the token domain to a 21 GFLOP/step vocabulary
+    matmul (55x fewer FLOPs) and shrinks the gather and its
+    scatter-add gradient from 768-wide fp32 rows to 450-wide rows. It is
+    mathematically exact — no dropout or nonlinearity sits between the
+    table and the conv (the reference applies none either:
+    models/Encoders/CNN.py:12-24 convolves the raw embedding output).
+
+    Parameter names mirror the unfused pair (`embedding`, conv
+    `kernel`/`bias`, pooling `query_words`/`word_query_project`);
+    ``fuse_cnn_params``/``unfuse_cnn_params`` below convert param trees
+    both ways so checkpoints are interchangeable.
+    """
+    vocab_size: int
+    embedding_dim: int
+    hidden_dim: int
+    pretrained: Optional[Any] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray,
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, N, S = tokens.shape
+        V, E, H = self.vocab_size, self.embedding_dim, self.hidden_dim
+        if self.pretrained is not None:
+            emb_init = lambda key, shape, dtype: jnp.asarray(
+                self.pretrained, dtype)
+        else:
+            emb_init = nn.initializers.normal(stddev=0.02)
+        table = self.param("embedding", emb_init, (V, E), jnp.float32)
+        kernel = self.param("kernel", xavier(), (3, E, H), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (H,), jnp.float32)
+        # project the vocabulary through the 3 conv taps once per step
+        proj = jnp.einsum(
+            "ve,keh->vkh", table, kernel,
+            preferred_element_type=jnp.float32).astype(self.dtype)
+        z = jnp.take(proj.reshape(V, 3 * H), tokens.reshape(B * N, S),
+                     axis=0)                           # [B*N, S, 3H]
+        # SAME-padding conv y[s] = z[s-1,0] + z[s,1] + z[s+1,2], realised
+        # as a conv with a constant block-selector kernel: the shift-add
+        # rides the MXU instead of materialising padded copies of the
+        # [B*N*S, 3H] tensor on the VPU (measured 2.8x faster on v5e)
+        sel = np.zeros((3, 3 * H, H), np.float32)
+        for k in range(3):
+            sel[k, k * H:(k + 1) * H, :] = np.eye(H)
+        x = jax.lax.conv_general_dilated(
+            z, jnp.asarray(sel, self.dtype), (1,), "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        x = nn.relu(x + bias.astype(self.dtype))
+        x = x.reshape(B, N, S, H)
+        query = self.param("query_words", xavier(), (1, H),
+                           jnp.float32).astype(self.dtype)
+        keys = jnp.tanh(nn.Dense(H, dtype=self.dtype, kernel_init=xavier(),
+                                 name="word_query_project")(x))
+        repr_ = _query_pool(query, keys, x, attn_mask)
+        return x, repr_
+
+
+def fuse_cnn_params(embedding_params: dict, encoder_params: dict) -> dict:
+    """(WordEmbedding params, CnnNewsEncoder params) → FusedCnnNewsEncoder
+    params with identical math."""
+    return {
+        "embedding": embedding_params["embedding"],
+        "kernel": encoder_params["Conv_0"]["kernel"],
+        "bias": encoder_params["Conv_0"]["bias"],
+        "query_words": encoder_params["query_words"],
+        "word_query_project": encoder_params["word_query_project"],
+    }
+
+
+def unfuse_cnn_params(fused: dict) -> Tuple[dict, dict]:
+    """Inverse of fuse_cnn_params: → (embedding params, encoder params)."""
+    return (
+        {"embedding": fused["embedding"]},
+        {"Conv_0": {"kernel": fused["kernel"], "bias": fused["bias"]},
+         "query_words": fused["query_words"],
+         "word_query_project": fused["word_query_project"]},
+    )
 
 
 class MhaNewsEncoder(nn.Module):

@@ -36,9 +36,13 @@ class TwoTower(nn.Module):
 
     def encode_news(self, tokens: jnp.ndarray, attn_mask: jnp.ndarray,
                     deterministic: bool = True) -> jnp.ndarray:
-        """[B, N, S] tokens → [B, N, H] news representations."""
-        emb = self.embedding(tokens)
-        _, repr_ = self.news_encoder(emb, attn_mask,
+        """[B, N, S] tokens → [B, N, H] news representations.
+
+        With ``embedding=None`` the news encoder consumes token ids
+        directly (fused embedding+encoder modules like
+        FusedCnnNewsEncoder own their table)."""
+        x = tokens if self.embedding is None else self.embedding(tokens)
+        _, repr_ = self.news_encoder(x, attn_mask,
                                      deterministic=deterministic)
         return repr_
 
