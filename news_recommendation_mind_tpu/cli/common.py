@@ -22,7 +22,7 @@ from ..experiment import (
 from ..parallel import make_mesh
 from ..train import Trainer, create_train_state, load_checkpoint, \
     make_optimizer
-from ..utils.logging import get_logger
+from ..utils.logging import get_logger, log_result
 
 logger = get_logger("cli")
 
@@ -94,6 +94,49 @@ def run(cfg: Config, model_builder=build_model) -> dict:
                                  hidden_dim=hidden_dim, fast=cfg.fast)
         logger.info("predictions written to %s", path)
         return {"prediction_path": path}
+    if cfg.mode == "recall":
+        # the reference declares a recall mode and ships BM25/inverted-
+        # index utilities for it (reference utils/Manager.py:52, 117-119;
+        # utils/utils.py:219-410) but has no loader branch or model
+        # support — dead in practice. Here it works end-to-end: a
+        # token-level BM25 inverted index over the split's news recalls
+        # candidates from each user's history tokens; reports recall@K
+        # against the impression's clicked positives.
+        from ..utils.bm25 import BM25Token, construct_inverted_index
+        news_tokens, _ = data.news["dev"].truncated(cfg.signal_length)
+        toks = [row[row != 0] for row in news_tokens]
+        bm25 = BM25Token(toks)
+        vocab = int(news_tokens.max()) + 1
+        top_k = 100
+        inv = construct_inverted_index(toks, bm25, vocab_size=vocab,
+                                       top_k=top_k)
+        b = data.behaviors["dev"]
+        ks = (20, 50, 100)
+        hits = {k: 0.0 for k in ks}
+        total = 0
+        n_news = len(toks)
+        for i in range(len(b)):
+            cdd = b.cdd_flat[b.cdd_offsets[i]:b.cdd_offsets[i + 1]]
+            lab = b.labels_flat[b.cdd_offsets[i]:b.cdd_offsets[i + 1]]
+            positives = set(int(c) for c, l in zip(cdd, lab) if l > 0)
+            if not positives:
+                continue
+            his = b.his_flat[b.his_offsets[i]:b.his_offsets[i + 1]]
+            scores = np.zeros(n_news + 1)
+            for t in set(int(t) for h in his for t in news_tokens[h]
+                         if t != 0):
+                postings = inv[t]
+                scores[postings[:, 0].astype(np.int64)] += postings[:, 1]
+            order = np.argsort(-scores[:n_news])
+            for k in ks:
+                got = len(positives & set(order[:k].tolist()))
+                hits[k] += got / len(positives)
+            total += 1
+        result = {f"recall@{k}": round(hits[k] / max(total, 1), 4)
+                  for k in ks}
+        print(result)
+        log_result(cfg.name + "__bm25recall", cfg.scale, 0, result)
+        return result
     if cfg.mode == "analyse":
         # the reference declares this mode but never implements a handler
         # (utils/Manager.py:45 lists it; no dispatch exists); here it

@@ -84,6 +84,8 @@ class Config:
     device_gather: bool = True       # keep token cache in HBM, ship ids only
     fused_embedding: bool = True     # fuse embedding through the CNN conv
                                      # (exact; cnn encoder, unsharded table)
+    dedup_news: bool = True          # encode each distinct news once per
+                                     # step (device_gather; twotower/plm)
     steps_per_call: int = 1          # fuse K train steps per device call
     nan_recover: int = 0             # auto-restore from ckpt on NaN loss
                                      # up to N times (0 = fail fast)

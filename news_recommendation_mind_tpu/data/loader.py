@@ -67,12 +67,16 @@ class TrainLoader:
                  descend_history: bool = False, seed: int = 42,
                  num_shards: int = 1, shard_index: int = 0,
                  drop_last: bool = True, backend: str = "auto",
-                 emit_tokens: bool = True):
+                 emit_tokens: bool = True, dedup: bool = False):
         assert behaviors.mode == "train"
         # emit_tokens=False: device-gather mode — batches carry ids only;
         # the token cache lives in HBM and the train step gathers there
         # (60x less host->device traffic; see train/step.py news_table)
         self.emit_tokens = emit_tokens
+        # dedup: additionally emit the batch's unique news ids plus
+        # per-slot indices so the device encodes each distinct article
+        # once (models/two_tower.py forward_from_unique); ids-only mode
+        self.dedup = dedup and not emit_tokens
         self.news_tokens, self.news_attn = news.truncated(signal_length)
         self.news_attn = self.news_attn.astype(np.float32)
         self.b = behaviors
@@ -102,6 +106,30 @@ class TrainLoader:
                 if backend == "native":
                     raise
         self.backend = "native" if self._native is not None else "numpy"
+        if self.dedup:
+            # static unique-pool width: a batch can't contain more
+            # distinct news than slots or than the corpus; round up so
+            # the array divides typical mesh data-axis sizes
+            cap = min(self.news_tokens.shape[0],
+                      batch_size * (self.cdd_size + his_size))
+            self.u_pad = -(-cap // 256) * 256
+
+    def _dedupify(self, batch: Batch) -> Batch:
+        """ids-only batch → + uniq_id [U_pad], cdd_pos/his_pos (see
+        forward_from_unique). Padding id 0 maps extra rows to the pad
+        article; duplicate pad rows only add masked work."""
+        cdd, his = batch["cdd_id"], batch["his_id"]
+        ids = np.concatenate([cdd.ravel(), his.ravel()])
+        uniq, inv = np.unique(ids, return_inverse=True)
+        if len(uniq) > self.u_pad:      # can't happen by construction
+            return batch
+        uniq_pad = np.zeros(self.u_pad, np.int32)
+        uniq_pad[:len(uniq)] = uniq
+        out = dict(batch)
+        out["uniq_id"] = uniq_pad
+        out["cdd_pos"] = inv[:cdd.size].reshape(cdd.shape).astype(np.int32)
+        out["his_pos"] = inv[cdd.size:].reshape(his.shape).astype(np.int32)
+        return out
 
     def __len__(self) -> int:
         per_shard = self.n // self.num_shards if self.drop_last else \
@@ -143,16 +171,16 @@ class TrainLoader:
         for bi in range(nb):
             idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
             if self._native is not None:
-                yield self._native.make_batch(idx, self.epoch,
-                                              self.shuffle_pos,
-                                              self.emit_tokens)
+                batch = self._native.make_batch(idx, self.epoch,
+                                                self.shuffle_pos,
+                                                self.emit_tokens)
             else:
                 batch = self._make_batch(idx, rng)
                 if not self.emit_tokens:
                     for k in ("cdd_token", "cdd_attn", "his_token",
                               "his_attn"):
                         del batch[k]
-                yield batch
+            yield self._dedupify(batch) if self.dedup else batch
 
     def _make_batch(self, idx: np.ndarray, rng: np.random.Generator) -> Batch:
         bs = len(idx)

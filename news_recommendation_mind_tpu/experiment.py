@@ -180,13 +180,16 @@ def build_train_loader(cfg: Config, data: DataBundle,
                        emit_tokens: Optional[bool] = None) -> TrainLoader:
     if emit_tokens is None:
         emit_tokens = not cfg.device_gather
+    # xformer consumes raw concatenated history tokens — news-level
+    # dedup only applies to the news-tower families
+    dedup = cfg.dedup_news and cfg.model in ("twotower", "plm")
     return TrainLoader(
         data.news["train"], data.behaviors["train"],
         batch_size=cfg.batch_size, npratio=cfg.npratio,
         his_size=cfg.his_size, signal_length=cfg.signal_length,
         shuffle_pos=cfg.shuffle_pos, descend_history=cfg.descend_history,
         seed=cfg.seed, num_shards=num_shards, shard_index=shard_index,
-        emit_tokens=emit_tokens)
+        emit_tokens=emit_tokens, dedup=dedup)
 
 
 def build_eval_loaders(cfg: Config, data: DataBundle, split: str = "dev",

@@ -85,6 +85,36 @@ class TwoTower(nn.Module):
         return self.compute_score(cdd_repr, user_repr)
 
 
+def forward_from_unique(mdl, batch: Batch,
+                        deterministic: bool = True) -> jnp.ndarray:
+    """Forward pass over batch-deduplicated news → scores [B, C].
+
+    Candidate/history slots in a batch repeat the same articles heavily
+    (shared impressions, overlapping histories), yet the news tower is
+    user-independent — so each distinct article only needs encoding once
+    per step. The host loader emits the batch's unique news
+    (``uniq_token``/``uniq_attn`` [U, S]) plus per-slot indices
+    (``cdd_pos`` [B, C], ``his_pos`` [B, N] into U); this encodes U
+    articles instead of B·(C+N) and gathers representations per slot.
+    Mathematically identical to the plain forward (the gather's
+    scatter-add backward sums duplicate-slot gradients exactly); the one
+    behavioural difference is that encoder dropout is shared across
+    duplicate occurrences. Works for any model with the TwoTower duck
+    type (TwoTower, PLM — where it removes duplicate full BERT passes).
+
+    Use via ``model.apply(params, batch, method=forward_from_unique)``.
+    """
+    reprs = mdl.encode_news(batch["uniq_token"][None],
+                            batch["uniq_attn"][None],
+                            deterministic)[0]           # [U, H]
+    cdd_repr = jnp.take(reprs, batch["cdd_pos"], axis=0)
+    his_repr = jnp.take(reprs, batch["his_pos"], axis=0)
+    user_repr = mdl.encode_user_from_reprs(his_repr, batch["his_mask"],
+                                           batch.get("user_id"),
+                                           deterministic)
+    return mdl.compute_score(cdd_repr, user_repr)
+
+
 def train_loss(scores: jnp.ndarray, label: jnp.ndarray,
                cdd_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """In-impression sampled-softmax cross-entropy.

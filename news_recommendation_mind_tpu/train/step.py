@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.two_tower import train_loss
+from ..models.two_tower import forward_from_unique, train_loss
 from .state import TrainState
 
 
@@ -37,27 +37,46 @@ def _build_step_fn(model, optimizer, remat: bool, news_table):
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
                 rng: jax.Array):
+        dedup = "uniq_id" in batch and news_table is not None
         if news_table is not None:
             batch = dict(batch)
-            batch["cdd_token"] = jnp.take(tok_table, batch["cdd_id"],
-                                          axis=0)
-            batch["his_token"] = jnp.take(tok_table, batch["his_id"],
-                                          axis=0)
-            if derive_attn:
-                batch["cdd_attn"] = (batch["cdd_token"] != 0).astype(
-                    jnp.float32)
-                batch["his_attn"] = (batch["his_token"] != 0).astype(
-                    jnp.float32)
+            if dedup:
+                # batch-level news dedup: gather tokens only for the
+                # batch's unique articles; the model encodes those once
+                # and indexes per slot (models/two_tower.py
+                # forward_from_unique)
+                batch["uniq_token"] = jnp.take(tok_table, batch["uniq_id"],
+                                               axis=0)
+                if derive_attn:
+                    batch["uniq_attn"] = (batch["uniq_token"] != 0).astype(
+                        jnp.float32)
+                else:
+                    batch["uniq_attn"] = jnp.take(attn_table,
+                                                  batch["uniq_id"], axis=0)
             else:
-                batch["cdd_attn"] = jnp.take(attn_table, batch["cdd_id"],
-                                             axis=0)
-                batch["his_attn"] = jnp.take(attn_table, batch["his_id"],
-                                             axis=0)
+                batch["cdd_token"] = jnp.take(tok_table, batch["cdd_id"],
+                                              axis=0)
+                batch["his_token"] = jnp.take(tok_table, batch["his_id"],
+                                              axis=0)
+                if derive_attn:
+                    batch["cdd_attn"] = (batch["cdd_token"] != 0).astype(
+                        jnp.float32)
+                    batch["his_attn"] = (batch["his_token"] != 0).astype(
+                        jnp.float32)
+                else:
+                    batch["cdd_attn"] = jnp.take(attn_table,
+                                                 batch["cdd_id"], axis=0)
+                    batch["his_attn"] = jnp.take(attn_table,
+                                                 batch["his_id"], axis=0)
         # fold the step counter in so dropout differs per step but the
         # whole run stays reproducible from one seed
         step_rng = jax.random.fold_in(rng, state.step)
 
         def forward(params, batch, step_rng):
+            if dedup:
+                return model.apply(params, batch, False,
+                                   rngs={"dropout": step_rng},
+                                   method=forward_from_unique)
             return model.apply(params, batch, deterministic=False,
                                rngs={"dropout": step_rng})
 
