@@ -156,8 +156,9 @@ class _SelfAttention(nn.Module):
             # dropout is skipped here — the long variants are the XFormer
             # family whose reference analogues use sparse kernels without
             # probability dropout on the band.
-            from ..ops.local_attention import block_local_attention
-            out = block_local_attention(q, k, v, attn_mask, c.window)
+            # fused Pallas kernel on TPU, XLA block-banded elsewhere
+            from ..ops.pallas_attention import local_global_attention
+            out = local_global_attention(q, k, v, attn_mask, c.window)
             return out.transpose(0, 2, 1, 3).reshape(B, S, H)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(head_dim, self.dtype))

@@ -1,0 +1,238 @@
+"""Pallas TPU kernel: block-banded local+global attention, fused.
+
+The long-context PLM family (longformer w=32 / bigbird block 64 /
+reformer chunked — reference models/PLM.py:66-78, models/XFormer.py:18-42)
+attends within a band plus a global position 0. ops/local_attention.py
+realises the band in pure XLA by materialising rolled key/value copies in
+HBM (4x K/V traffic + [*, 4BS] score tensors). This kernel instead keeps
+one (batch·head) slice resident in VMEM — S ≤ 1280 at the reference
+length budgets (utils/Manager.py:1013-1026), so q/k/v/o fit comfortably
+in the ~16 MB budget — and walks query blocks with an unrolled loop;
+each query block contracts against only its {0, i-1, i, i+1} key blocks
+on the MXU with the softmax fused in fp32 (no HBM score tensors, no
+rolled copies).
+
+Semantics are exactly ops/local_attention.block_local_attention
+(including masked_softmax's zero-probability-for-masked and all-zero
+fully-masked rows), verified by tests/test_pallas_attention.py; the
+backward pass is a hand-written flash-style recompute kernel (custom
+VJP) that accumulates dK/dV in VMEM scratch.
+
+``local_global_attention`` is the dispatcher: the Pallas kernel on TPU
+backends, the XLA fallback elsewhere (CPU tests, interpret mode).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .local_attention import block_local_attention
+
+NEG_INF = -1e30
+
+
+def _blocks_for(qi: int, nb: int) -> Sequence[int]:
+    """Static key-block set for query block qi: {0, qi-1, qi, qi+1} ∩ nb."""
+    return sorted({b for b in (0, qi - 1, qi, qi + 1) if 0 <= b < nb})
+
+
+def _band_mask(qi: int, kj: int, BS: int, window: int) -> jnp.ndarray:
+    qpos = qi * BS + jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 0)
+    kpos = kj * BS + jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 1)
+    return (jnp.abs(qpos - kpos) <= window) | (kpos == 0)
+
+
+def _fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *,
+                nb: int, BS: int, window: int, scale: float):
+    for qi in range(nb):
+        q_blk = q_ref[qi * BS:(qi + 1) * BS, :].astype(jnp.float32)
+        blocks = _blocks_for(qi, nb)
+        parts, masks = [], []
+        for kj in blocks:
+            k_blk = k_ref[kj * BS:(kj + 1) * BS, :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q_blk, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            kvalid = mask_ref[0, 0, kj * BS:(kj + 1) * BS] > 0
+            parts.append(s)
+            masks.append(_band_mask(qi, kj, BS, window) & kvalid[None, :])
+        s = jnp.concatenate(parts, axis=1)
+        m = jnp.concatenate(masks, axis=1)
+        p = jax.nn.softmax(jnp.where(m, s, NEG_INF), axis=-1)
+        p = p * m.astype(jnp.float32)          # masked_softmax semantics
+        o = jnp.zeros((BS, q_ref.shape[-1]), jnp.float32)
+        for col, kj in enumerate(blocks):
+            v_blk = v_ref[kj * BS:(kj + 1) * BS, :].astype(jnp.float32)
+            o = o + jnp.dot(p[:, col * BS:(col + 1) * BS], v_blk,
+                            preferred_element_type=jnp.float32)
+        o_ref[qi * BS:(qi + 1) * BS, :] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                nb: int, BS: int, window: int, scale: float):
+    dk_acc[:] = jnp.zeros_like(dk_acc)
+    dv_acc[:] = jnp.zeros_like(dv_acc)
+    for qi in range(nb):
+        q_blk = q_ref[qi * BS:(qi + 1) * BS, :].astype(jnp.float32)
+        do_blk = do_ref[qi * BS:(qi + 1) * BS, :].astype(jnp.float32)
+        blocks = _blocks_for(qi, nb)
+        parts, masks = [], []
+        for kj in blocks:
+            k_blk = k_ref[kj * BS:(kj + 1) * BS, :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q_blk, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            kvalid = mask_ref[0, 0, kj * BS:(kj + 1) * BS] > 0
+            parts.append(s)
+            masks.append(_band_mask(qi, kj, BS, window) & kvalid[None, :])
+        s = jnp.concatenate(parts, axis=1)
+        m = jnp.concatenate(masks, axis=1)
+        mf = m.astype(jnp.float32)
+        sig = jax.nn.softmax(jnp.where(m, s, NEG_INF), axis=-1)
+        p = sig * mf
+        # dP from dO against each V block
+        dp_parts = []
+        for kj in blocks:
+            v_blk = v_ref[kj * BS:(kj + 1) * BS, :].astype(jnp.float32)
+            dp_parts.append(jax.lax.dot_general(
+                do_blk, v_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dp = jnp.concatenate(dp_parts, axis=1)
+        # p = softmax(s̃)·m  ⇒  dσ = dP·m; ds = σ⊙(dσ − Σ σ⊙dσ)
+        dsig = dp * mf
+        ds = sig * (dsig - jnp.sum(sig * dsig, axis=-1, keepdims=True))
+        dq = jnp.zeros_like(q_blk)
+        for col, kj in enumerate(blocks):
+            ds_j = ds[:, col * BS:(col + 1) * BS]
+            p_j = p[:, col * BS:(col + 1) * BS]
+            k_blk = k_ref[kj * BS:(kj + 1) * BS, :].astype(jnp.float32)
+            dq = dq + jnp.dot(ds_j, k_blk,
+                              preferred_element_type=jnp.float32) * scale
+            sl = slice(kj * BS, (kj + 1) * BS)
+            dk_acc[sl, :] += jax.lax.dot_general(
+                ds_j, q_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dv_acc[sl, :] += jax.lax.dot_general(
+                p_j, do_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dq_ref[qi * BS:(qi + 1) * BS, :] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
+    dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _specs(B: int, H: int, Sp: int, D: int, n_tensors: int):
+    """mask spec + n_tensors tensor specs, grid over BH.
+
+    Tensors ride 2-D as [BH*Sp, D] with (Sp, D) blocks (Mosaic lowers 2-D
+    slices of narrow-D bf16 cleanly where leading-1 3-D views fail); the
+    mask rides as [B, 1, Sp] so the block's trailing dims equal the array
+    dims (TPU block-shape tiling rule)."""
+    mask_spec = pl.BlockSpec((1, 1, Sp), lambda bh: (bh // H, 0, 0),
+                             memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((Sp, D), lambda bh: (bh, 0),
+                          memory_space=pltpu.VMEM)
+    return mask_spec, [t_spec] * n_tensors, t_spec
+
+
+def _reshape_in(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, S, D = x.shape
+    return x.reshape(B * H * S, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _banded(q, k, v, key_mask, window, block_size, interpret):
+    return _banded_fwd_impl(q, k, v, key_mask, window, block_size, interpret)
+
+
+def _banded_fwd_impl(q, k, v, key_mask, window, block_size, interpret):
+    B, H, S, D = q.shape
+    Sp, nb = S, S // block_size
+    scale = 1.0 / float(D) ** 0.5
+    mask_spec, in_specs, out_spec = _specs(B, H, Sp, D, 3)
+    kern = functools.partial(
+        _fwd_kernel, nb=nb, BS=block_size, window=window, scale=scale)
+    out = pl.pallas_call(
+        kern,
+        grid=(B * H,),
+        in_specs=[mask_spec] + in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H * Sp, D), q.dtype),
+        interpret=interpret,
+    )(key_mask[:, None, :], _reshape_in(q), _reshape_in(k),
+      _reshape_in(v))
+    return out.reshape(B, H, Sp, D)
+
+
+def _banded_fwd(q, k, v, key_mask, window, block_size, interpret):
+    out = _banded_fwd_impl(q, k, v, key_mask, window, block_size, interpret)
+    return out, (q, k, v, key_mask)
+
+
+def _banded_bwd(window, block_size, interpret, residuals, g):
+    q, k, v, key_mask = residuals
+    B, H, S, D = q.shape
+    nb = S // block_size
+    scale = 1.0 / float(D) ** 0.5
+    mask_spec, in_specs, out_spec = _specs(B, H, S, D, 4)
+    kern = functools.partial(
+        _bwd_kernel, nb=nb, BS=block_size, window=window, scale=scale)
+    shp = jax.ShapeDtypeStruct((B * H * S, D), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(B * H,),
+        in_specs=[mask_spec] + in_specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(shp, shp, shp),
+        scratch_shapes=[pltpu.VMEM((S, D), jnp.float32),
+                        pltpu.VMEM((S, D), jnp.float32)],
+        interpret=interpret,
+    )(key_mask[:, None, :], _reshape_in(q), _reshape_in(k),
+      _reshape_in(v), _reshape_in(g))
+    rs = lambda x: x.reshape(B, H, S, D)
+    return rs(dq), rs(dk), rs(dv), jnp.zeros_like(key_mask)
+
+
+_banded.defvjp(_banded_fwd, _banded_bwd)
+
+
+def pallas_block_local_attention(q: jnp.ndarray, k: jnp.ndarray,
+                                 v: jnp.ndarray, key_mask: jnp.ndarray,
+                                 window: int,
+                                 block_size: int = 128,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Drop-in Pallas realisation of block_local_attention (same
+    signature/semantics: banded + global key/query position 0)."""
+    assert window <= block_size
+    B, H, S, D = q.shape
+    pad = (-S) % block_size
+    if pad:
+        zc = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = jnp.pad(q, zc), jnp.pad(k, zc), jnp.pad(v, zc)
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
+    out = _banded(q, k, v, key_mask.astype(jnp.float32), window,
+                  block_size, interpret)
+    # exact global query row 0 (CLS attends everywhere), as in the XLA
+    # version — differentiable JAX outside the kernel
+    from ..models.attention import masked_softmax
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, q.dtype))
+    q0 = q[:, :, 0:1, :]
+    s0 = jnp.einsum("bhqd,bhkd->bhqk", q0, k) * scale
+    p0 = masked_softmax(s0, key_mask[:, None, None, :])
+    out0 = jnp.einsum("bhqk,bhkd->bhqd", p0, v)
+    out = jnp.concatenate([out0, out[:, :, 1:, :]], axis=2)
+    return out[:, :, :S, :]
+
+
+def local_global_attention(q, k, v, key_mask, window, block_size=128):
+    """Backend dispatcher: the fused Pallas kernel on TPU, the XLA
+    block-banded fallback elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return pallas_block_local_attention(q, k, v, key_mask, window,
+                                            block_size)
+    return block_local_attention(q, k, v, key_mask, window, block_size)
