@@ -52,9 +52,11 @@ def run(cfg: Config, model_builder=build_model) -> dict:
     splits = ("train", eval_split)
     data = build_data(cfg, splits=splits)
     from ..experiment import load_pretrained_embedding
+    from ..parallel.mesh import mesh_from_config
+    mesh = mesh_from_config(cfg)
     pretrained = load_pretrained_embedding(cfg, data)
     model = model_builder(cfg, data.vocab_size, data.user_num,
-                          pretrained_embedding=pretrained)
+                          pretrained_embedding=pretrained, mesh=mesh)
     # each process loads its contiguous shard; the mesh step consumes the
     # assembled global batch (reference DistributedSampler equivalent)
     train_loader = build_train_loader(
@@ -68,7 +70,8 @@ def run(cfg: Config, model_builder=build_model) -> dict:
             cfg, data, "dev", num_shards=jax.process_count(),
             shard_index=jax.process_index())
         trainer = Trainer(cfg, model, train_loader, news_loader,
-                          eval_loader, sample_batch=sample_batch)
+                          eval_loader, mesh=mesh,
+                          sample_batch=sample_batch)
         return trainer.train()
 
     state = _restored_state(cfg, model, sample_batch)

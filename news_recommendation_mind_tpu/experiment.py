@@ -101,8 +101,14 @@ def load_pretrained_embedding(cfg: Config, data: DataBundle
 
 
 def build_model(cfg: Config, vocab_size: int, user_num: int,
-                pretrained_embedding: Optional[np.ndarray] = None):
-    """Assemble the configured model family (twotower / plm / xformer)."""
+                pretrained_embedding: Optional[np.ndarray] = None,
+                mesh=None):
+    """Assemble the configured model family (twotower / plm / xformer).
+
+    With a mesh whose 'model' axis is >1, the two-tower word table is
+    row-sharded over it (parallel/sharded_embedding.py); the fused
+    embedding→conv path and GloVe init apply only to the unsharded
+    table."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     if cfg.model == "plm":
         from .models.bert import BertModel, bert_variant
@@ -148,6 +154,22 @@ def build_model(cfg: Config, vocab_size: int, user_num: int,
                        max_length=variant.max_length,
                        max_length_per_history=variant.max_length_per_history,
                        news_bert=news_bert, debias=cfg.debias)
+    model_axis = (mesh.shape.get("model", 1) if mesh is not None else 1)
+    if model_axis > 1:
+        from .parallel import ShardedWordEmbedding
+        embedding = ShardedWordEmbedding(vocab_size, cfg.embedding_dim,
+                                         mesh=mesh, dtype=dtype)
+        news_enc = make_news_encoder(cfg.encoderN,
+                                     hidden_dim=cfg.hidden_dim,
+                                     embedding_dim=cfg.embedding_dim,
+                                     head_num=cfg.head_num,
+                                     dropout_p=cfg.dropout_p, dtype=dtype)
+        user_enc = make_user_encoder(cfg.encoderU,
+                                     hidden_dim=cfg.hidden_dim,
+                                     head_num=cfg.head_num,
+                                     user_num=user_num, dtype=dtype)
+        return TwoTower(embedding=embedding, news_encoder=news_enc,
+                        user_encoder=user_enc, hidden_dim=cfg.hidden_dim)
     if cfg.encoderN == "cnn" and cfg.fused_embedding:
         # exact algebraic fusion of lookup+conv (FusedCnnNewsEncoder
         # docstring): ~55x fewer conv FLOPs at reference shapes
@@ -181,8 +203,11 @@ def build_train_loader(cfg: Config, data: DataBundle,
     if emit_tokens is None:
         emit_tokens = not cfg.device_gather
     # xformer consumes raw concatenated history tokens — news-level
-    # dedup only applies to the news-tower families
-    dedup = cfg.dedup_news and cfg.model in ("twotower", "plm")
+    # dedup only applies to the news-tower families; the row-sharded
+    # table's shard_map lookup needs data-sharded per-example ids, so
+    # dedup is off under model parallelism
+    dedup = (cfg.dedup_news and cfg.model in ("twotower", "plm")
+             and cfg.model_parallel <= 1)
     return TrainLoader(
         data.news["train"], data.behaviors["train"],
         batch_size=cfg.batch_size, npratio=cfg.npratio,

@@ -40,6 +40,21 @@ def make_mesh(mesh_shape: Tuple[int, ...] = (),
     return Mesh(dev_array, axis_names)
 
 
+def mesh_from_config(cfg) -> Mesh:
+    """Mesh from a Config: an explicit --mesh-shape/--mesh-axes wins;
+    otherwise --model-parallel M builds (n_devices//M, M) over
+    ('data', 'model'); default is all devices on one 'data' axis."""
+    if cfg.mesh_shape:
+        return make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+    mp = max(int(getattr(cfg, "model_parallel", 1) or 1), 1)
+    if mp > 1:
+        n = len(jax.devices())
+        assert n % mp == 0, (
+            f"model_parallel={mp} must divide device count {n}")
+        return make_mesh((n // mp, mp), ("data", "model"))
+    return make_mesh((), tuple(cfg.mesh_axes))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -48,13 +48,13 @@ class Trainer:
     def __init__(self, cfg: Config, model, train_loader,
                  news_loader=None, eval_loader=None,
                  mesh=None, sample_batch=None):
+        from ..parallel.mesh import mesh_from_config
         self.cfg = cfg
         self.model = model
         self.train_loader = train_loader
         self.news_loader = news_loader
         self.eval_loader = eval_loader
-        self.mesh = mesh if mesh is not None else make_mesh(
-            cfg.mesh_shape, cfg.mesh_axes)
+        self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
         total_steps = cfg.epochs * max(len(train_loader), 1)
         self.optimizer = make_optimizer(
             cfg.lr, cfg.bert_lr, scheduler=cfg.scheduler,
@@ -69,6 +69,21 @@ class Trainer:
             self.state = load_checkpoint(cfg.ckpt_dir(), cfg.scale,
                                          self.state, step=cfg.checkpoint)
             logger.info("resumed from step %d", int(self.state.step))
+        # row-sharded tables (mesh 'model' axis > 1): keep the state on
+        # its shards across steps (dryrun_multichip's layout, now the
+        # Trainer path for --model-parallel)
+        self.state_sharding = None
+        if self.mesh.shape.get("model", 1) > 1:
+            from ..parallel import (partition_rules, shard_train_state,
+                                    state_shardings)
+            vt = getattr(getattr(model, "embedding", None),
+                         "vocab_size", None)
+            rule = (partition_rules(self.mesh, vocab_threshold=vt)
+                    if vt else partition_rules(self.mesh))
+            self._shard_rule = rule
+            self.state = shard_train_state(self.state, self.mesh, rule)
+            self.state_sharding = state_shardings(self.state, self.mesh,
+                                                  rule)
         news_table = None
         if cfg.device_gather and getattr(train_loader, "emit_tokens",
                                          True) is False:
@@ -77,11 +92,12 @@ class Trainer:
             self.train_step = make_train_multistep(
                 model, self.optimizer, steps_per_call=cfg.steps_per_call,
                 mesh=self.mesh, donate=cfg.donate, remat=cfg.remat,
-                news_table=news_table)
+                state_sharding=self.state_sharding, news_table=news_table)
         else:
             self.train_step = make_train_step(
                 model, self.optimizer, mesh=self.mesh, donate=cfg.donate,
-                remat=cfg.remat, news_table=news_table)
+                remat=cfg.remat, state_sharding=self.state_sharding,
+                news_table=news_table)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.best_auc = -1.0
         self.nan_recoveries = 0
@@ -132,6 +148,10 @@ class Trainer:
             self.state = load_checkpoint(cfg.ckpt_dir(), cfg.scale,
                                          jax.device_get(self.state),
                                          step=step)
+            if self.state_sharding is not None:
+                from ..parallel import shard_train_state
+                self.state = shard_train_state(self.state, self.mesh,
+                                               self._shard_rule)
             return
         raise FloatingPointError(
             "non-finite training loss (use --anomaly to locate the op, "
