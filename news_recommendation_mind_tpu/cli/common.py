@@ -19,7 +19,6 @@ from ..experiment import (
     build_data, build_eval_loaders, build_history_loader, build_model,
     build_train_loader,
 )
-from ..parallel import make_mesh
 from ..train import Trainer, create_train_state, load_checkpoint, \
     make_optimizer
 from ..utils.logging import get_logger, log_result

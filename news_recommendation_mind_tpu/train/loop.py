@@ -10,7 +10,7 @@ including the step counter (see train/checkpoint.py).
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np
@@ -18,11 +18,11 @@ import numpy as np
 from ..config import Config
 from ..data.loader import ensure_tokens, prefetch_to_device
 from ..evaluation.engine import evaluate
-from ..parallel.mesh import batch_sharding, make_mesh
+from ..parallel.mesh import batch_sharding
 from ..utils.logging import get_logger, log_result
 from .checkpoint import (latest_step, load_checkpoint, save_checkpoint,
                          wait_for_pending_saves)
-from .state import TrainState, create_train_state, make_optimizer
+from .state import create_train_state, make_optimizer
 from .step import make_train_multistep, make_train_step
 
 logger = get_logger("train")
