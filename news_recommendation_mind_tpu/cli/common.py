@@ -177,11 +177,11 @@ def run(cfg: Config, model_builder=build_model) -> dict:
         batch = next(iter(loader))
         # a device->host transfer is the only sync that provably drains
         # the remote tunnel backend (block_until_ready does not)
-        float(encode(state.params, batch)[0, 0])  # compile
+        float(encode(state.params, batch).reshape(-1)[0])  # compile
         n = 0
         t0 = time.time()
         for batch in loader:
-            float(encode(state.params, batch)[0, 0])
+            float(encode(state.params, batch).reshape(-1)[0])
             n += len(batch["user_id"])
         dt = time.time() - t0
         logger.info("encoded %d users in %.3fs (%.1f users/s)", n, dt,
