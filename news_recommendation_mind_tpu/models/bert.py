@@ -46,8 +46,14 @@ class BertVariantConfig:
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     eps: float = 1e-12
-    attention_type: str = "full"      # full | synthesizer | local
+    attention_type: str = "full"      # full | synthesizer | local | disentangled
     window: int = 0                   # local attention half-window
+    # disentangled (DeBERTa) attention: which relative components to add
+    # and whether absolute position embeddings feed the input
+    # (microsoft/deberta-base: c2p+p2c, position_biased_input=False)
+    pos_att_types: Tuple[str, ...] = ()
+    position_biased_input: bool = True
+    max_relative: int = 0             # 0 → max_position
     pooler: str = "tanh"              # tanh | gelu_cls | cls
     signal_length: int = 30           # synthesizer score-MLP width
     pad_token_id: int = 0
@@ -69,7 +75,11 @@ _VARIANTS = {
     "distill": BertVariantConfig(num_layers=6, type_vocab_size=0,
                                  pooler="gelu_cls"),
     "deberta": BertVariantConfig(pooler="gelu_cls", cls_token_id=1,
-                                 sep_token_id=2),
+                                 sep_token_id=2,
+                                 attention_type="disentangled",
+                                 pos_att_types=("c2p", "p2c"),
+                                 position_biased_input=False,
+                                 type_vocab_size=0),
     "funnel": BertVariantConfig(num_layers=6, pooler="cls"),
     "synthesizer": BertVariantConfig(attention_type="synthesizer"),
     "longformer": BertVariantConfig(attention_type="local", window=32,
@@ -116,6 +126,98 @@ def _local_global_band(mask: jnp.ndarray, window: int) -> jnp.ndarray:
     glob = (idx[:, None] == 0) | (idx[None, :] == 0)
     pattern = (band | glob).astype(mask.dtype)
     return pattern[None, :, :] * mask[:, None, :]
+
+
+class _DisentangledSelfAttention(nn.Module):
+    """DeBERTa v1 disentangled attention (reference models/PLM.py:19-28
+    selects microsoft/deberta-base via HF AutoModel; the math here matches
+    transformers' DisentangledSelfAttention exactly — pinned by
+    tests/test_hf_parity.py::test_deberta_matches_transformers).
+
+    Score(i,j) = [q_i·k_j  (content→content)
+                  + q_i·K_r(δ(i,j))            ("c2p", content→position)
+                  + k_j·Q_r(δ(i,j))            ("p2c", position→content)]
+    with q and Q_r pre-scaled by 1/sqrt(d·(1+#components)), relative
+    distance δ(i,j) = clamp(i-j, -span, span-1) indexing a table of
+    2·span rel embeddings shared across layers, per-layer projections
+    K_r = pos_proj(rel) (no bias) and Q_r = pos_q_proj(rel) (bias).
+    Q/K/V come from one fused in_proj (no bias) with separate q/v bias
+    vectors (k stays bias-free).
+    """
+    cfg: BertVariantConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray,
+                 rel_emb: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.cfg
+        B, S, H = x.shape
+        nh = c.num_heads
+        hd = H // nh
+        max_rel = c.max_relative or c.max_position
+        span = min(S, max_rel)
+
+        qkv = nn.Dense(3 * H, use_bias=False, dtype=self.dtype,
+                       name="in_proj")(x)
+        # per-head [q|k|v] interleaving, matching HF's chunk(3, dim=-1)
+        # applied after the head split
+        qkv = qkv.reshape(B, S, nh, 3, hd)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        q_bias = self.param("q_bias", nn.initializers.zeros, (H,),
+                            jnp.float32)
+        v_bias = self.param("v_bias", nn.initializers.zeros, (H,),
+                            jnp.float32)
+        q = q + q_bias.reshape(nh, hd).astype(self.dtype)
+        v = v + v_bias.reshape(nh, hd).astype(self.dtype)
+        q = q.transpose(0, 2, 1, 3)  # [B, nh, S, hd]
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        scale = jnp.sqrt(jnp.asarray(hd * (1 + len(c.pos_att_types)),
+                                     jnp.float32)).astype(self.dtype)
+        q = q / scale
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+
+        if c.pos_att_types:
+            # shared rel table sliced to the active span, with the same
+            # dropout the content path applies to hidden states
+            rel = rel_emb[max_rel - span: max_rel + span].astype(self.dtype)
+            rel = nn.Dropout(c.hidden_dropout,
+                             deterministic=deterministic)(rel)
+            idx = jnp.arange(S)
+            # δ(i,j)+span, clamped into the table — used by BOTH
+            # components (p2c's gather+transpose works out to the same
+            # (i-j)-indexed lookup on k_j)
+            rel_idx = jnp.clip(idx[:, None] - idx[None, :] + span,
+                               0, 2 * span - 1)              # [S, S]
+            if "c2p" in c.pos_att_types:
+                pos_k = nn.Dense(H, use_bias=False, dtype=self.dtype,
+                                 name="pos_proj")(rel)       # [2span, H]
+                pos_k = pos_k.reshape(2 * span, nh, hd)
+                c2p = jnp.einsum("bhqd,rhd->bhqr", q, pos_k)
+                scores = scores + jnp.take_along_axis(
+                    c2p, rel_idx[None, None, :, :], axis=-1)
+            if "p2c" in c.pos_att_types:
+                pos_q = nn.Dense(H, dtype=self.dtype, name="pos_q_proj")(
+                    rel) / scale                              # [2span, H]
+                pos_q = pos_q.reshape(2 * span, nh, hd)
+                p2c = jnp.einsum("bhkd,rhd->bhkr", k, pos_q)  # over keys
+                # score_p2c[i,j] = k_j · Q_r(clamp(i-j)+span):
+                # gather over r at rel_idx[i,j], applied on the key axis
+                scores = scores + jnp.take_along_axis(
+                    p2c, rel_idx.T[None, None, :, :], axis=-1
+                ).transpose(0, 1, 3, 2)
+
+        # HF masks BOTH sides (m_i · m_j); fully-masked query rows give
+        # all-zero probs here (uniform in HF — positions are padding
+        # either way and never read downstream)
+        mask2d = (attn_mask[:, None, :, None] * attn_mask[:, None, None, :])
+        probs = masked_softmax(scores, mask2d)
+        probs = nn.Dropout(c.attention_dropout,
+                           deterministic=deterministic)(probs)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        return out.transpose(0, 2, 1, 3).reshape(B, S, H)
 
 
 class _SelfAttention(nn.Module):
@@ -179,10 +281,16 @@ class _Layer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 rel_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = self.cfg
-        attn = _SelfAttention(c, self.dtype, name="attention")(
-            x, attn_mask, deterministic)
+        if c.attention_type == "disentangled":
+            attn = _DisentangledSelfAttention(c, self.dtype,
+                                              name="attention")(
+                x, attn_mask, rel_emb, deterministic)
+        else:
+            attn = _SelfAttention(c, self.dtype, name="attention")(
+                x, attn_mask, deterministic)
         attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attn_out")(attn)
         attn = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
@@ -209,10 +317,11 @@ class BertModel(nn.Module):
         emb = nn.Embed(c.vocab_size, c.hidden_size,
                        embedding_init=nn.initializers.normal(0.02),
                        dtype=self.dtype, name="word_embeddings")(input_ids)
-        pos = self.param("position_embeddings",
-                         nn.initializers.normal(0.02),
-                         (c.max_position, c.hidden_size), jnp.float32)
-        emb = emb + pos[:S][None, :, :].astype(self.dtype)
+        if c.position_biased_input:
+            pos = self.param("position_embeddings",
+                             nn.initializers.normal(0.02),
+                             (c.max_position, c.hidden_size), jnp.float32)
+            emb = emb + pos[:S][None, :, :].astype(self.dtype)
         if c.type_vocab_size:
             tt = self.param("token_type_embeddings",
                             nn.initializers.normal(0.02),
@@ -220,11 +329,20 @@ class BertModel(nn.Module):
             emb = emb + tt[0][None, None, :].astype(self.dtype)
         x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
                          name="embed_norm")(emb)
-        x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
         attn_mask = attn_mask.astype(self.dtype)
+        rel_emb = None
+        if c.attention_type == "disentangled":
+            # DeBERTa zeroes padded input positions and shares one
+            # relative-distance table across every layer
+            x = x * attn_mask[..., None]
+            max_rel = c.max_relative or c.max_position
+            rel_emb = self.param("rel_embeddings",
+                                 nn.initializers.normal(0.02),
+                                 (2 * max_rel, c.hidden_size), jnp.float32)
+        x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
         for i in range(c.num_layers):
             x = _Layer(c, self.dtype, name=f"layer_{i}")(
-                x, attn_mask, deterministic)
+                x, attn_mask, deterministic, rel_emb=rel_emb)
         pooled = self._pool(x)
         return x, pooled
 
@@ -298,6 +416,62 @@ def load_hf_bert_weights(params, hf_state_dict, num_layers: int,
         put([fx, "ffn_norm", "bias"], hf + "output.LayerNorm.bias")
     put(["pooler", "kernel"], "pooler.dense.weight", transpose=True)
     put(["pooler", "bias"], "pooler.dense.bias")
+    return p
+
+
+def load_hf_deberta_weights(params, hf_state_dict, num_layers: int,
+                            prefix: str = ""):
+    """Map a HuggingFace DebertaModel state_dict onto BertModel params
+    (deberta variant). HF's fused ``in_proj`` output layout (per-head
+    [q|k|v] blocks) matches _DisentangledSelfAttention's reshape, so the
+    kernel maps by plain transpose."""
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in hf_state_dict.items()}
+    p = flax_unfreeze(params)
+
+    def put(tree_path, key, transpose=False):
+        if prefix + key not in sd:
+            return
+        val = sd[prefix + key]
+        if transpose:
+            val = val.T
+        node = p["params"]
+        for part in tree_path[:-1]:
+            node = node[part]
+        node[tree_path[-1]] = jnp.asarray(val)
+
+    put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
+    put(["embed_norm", "scale"], "embeddings.LayerNorm.weight")
+    put(["embed_norm", "bias"], "embeddings.LayerNorm.bias")
+    put(["rel_embeddings"], "encoder.rel_embeddings.weight")
+    for i in range(num_layers):
+        hf = f"encoder.layer.{i}."
+        fx = f"layer_{i}"
+        put([fx, "attention", "in_proj", "kernel"],
+            hf + "attention.self.in_proj.weight", transpose=True)
+        put([fx, "attention", "q_bias"], hf + "attention.self.q_bias")
+        put([fx, "attention", "v_bias"], hf + "attention.self.v_bias")
+        put([fx, "attention", "pos_proj", "kernel"],
+            hf + "attention.self.pos_proj.weight", transpose=True)
+        put([fx, "attention", "pos_q_proj", "kernel"],
+            hf + "attention.self.pos_q_proj.weight", transpose=True)
+        put([fx, "attention", "pos_q_proj", "bias"],
+            hf + "attention.self.pos_q_proj.bias")
+        put([fx, "attn_out", "kernel"], hf + "attention.output.dense.weight",
+            transpose=True)
+        put([fx, "attn_out", "bias"], hf + "attention.output.dense.bias")
+        put([fx, "attn_norm", "scale"],
+            hf + "attention.output.LayerNorm.weight")
+        put([fx, "attn_norm", "bias"], hf + "attention.output.LayerNorm.bias")
+        put([fx, "ffn_in", "kernel"], hf + "intermediate.dense.weight",
+            transpose=True)
+        put([fx, "ffn_in", "bias"], hf + "intermediate.dense.bias")
+        put([fx, "ffn_out", "kernel"], hf + "output.dense.weight",
+            transpose=True)
+        put([fx, "ffn_out", "bias"], hf + "output.dense.bias")
+        put([fx, "ffn_norm", "scale"], hf + "output.LayerNorm.weight")
+        put([fx, "ffn_norm", "bias"], hf + "output.LayerNorm.bias")
     return p
 
 
