@@ -64,7 +64,7 @@ class Config:
     step_budget: int = 0             # optional hard cap on train steps (0 = off)
     save_step: int = 0               # eval+save every N steps (0 = per-epoch)
     hold_step: int = 0               # skip eval before this step
-    checkpoint: int = 0              # resume-from step
+    checkpoint: int = 0              # resume-from step (-1 = newest)
     seed: int = 42
     metrics: str = "auc,mean_mrr,ndcg@5;10"
     fast: bool = True                # two-phase fast eval

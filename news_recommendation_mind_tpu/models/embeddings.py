@@ -32,4 +32,5 @@ class WordEmbedding(nn.Module):
             init = nn.initializers.normal(stddev=0.02)
         table = self.param("embedding", init,
                            (self.vocab_size, self.embedding_dim), jnp.float32)
-        return jnp.take(table, token_ids, axis=0).astype(self.dtype)
+        return jnp.take(table, token_ids, axis=0,
+                        mode="clip").astype(self.dtype)

@@ -108,8 +108,11 @@ class FusedCnnNewsEncoder(nn.Module):
         proj = jnp.einsum(
             "ve,keh->vkh", table, kernel,
             preferred_element_type=jnp.float32).astype(self.dtype)
+        # token ids are valid by construction; mode="clip" skips the
+        # out-of-bounds fill-select XLA emits for the default mode
+        # (measured 5%/step on the v5e flagship bench)
         z = jnp.take(proj.reshape(V, 3 * H), tokens.reshape(B * N, S),
-                     axis=0)                           # [B*N, S, 3H]
+                     axis=0, mode="clip")              # [B*N, S, 3H]
         # SAME-padding conv y[s] = z[s-1,0] + z[s,1] + z[s+1,2], realised
         # as a conv with a constant block-selector kernel: the shift-add
         # rides the MXU instead of materialising padded copies of the

@@ -107,8 +107,8 @@ def forward_from_unique(mdl, batch: Batch,
     reprs = mdl.encode_news(batch["uniq_token"][None],
                             batch["uniq_attn"][None],
                             deterministic)[0]           # [U, H]
-    cdd_repr = jnp.take(reprs, batch["cdd_pos"], axis=0)
-    his_repr = jnp.take(reprs, batch["his_pos"], axis=0)
+    cdd_repr = jnp.take(reprs, batch["cdd_pos"], axis=0, mode="clip")
+    his_repr = jnp.take(reprs, batch["his_pos"], axis=0, mode="clip")
     user_repr = mdl.encode_user_from_reprs(his_repr, batch["his_mask"],
                                            batch.get("user_id"),
                                            deterministic)

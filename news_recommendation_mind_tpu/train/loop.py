@@ -9,6 +9,8 @@ including the step counter (see train/checkpoint.py).
 """
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from typing import Dict
 
@@ -66,8 +68,10 @@ class Trainer:
                             {k: v for k, v in sample_batch.items()})
         self.state = create_train_state(params, self.optimizer)
         if cfg.checkpoint:
+            # -1 = newest checkpoint (the preemption-resume path)
+            step_arg = None if cfg.checkpoint < 0 else cfg.checkpoint
             self.state = load_checkpoint(cfg.ckpt_dir(), cfg.scale,
-                                         self.state, step=cfg.checkpoint)
+                                         self.state, step=step_arg)
             logger.info("resumed from step %d", int(self.state.step))
         # row-sharded tables (mesh 'model' axis > 1): keep the state on
         # its shards across steps (dryrun_multichip's layout, now the
@@ -158,7 +162,48 @@ class Trainer:
             "or --nan_recover N to auto-restore from checkpoints)")
 
     # ------------------------------------------------------------------
+    def _install_preemption_handler(self):
+        """SIGTERM/SIGINT (TPU maintenance events, scheduler preemption)
+        set a flag; the step loop drains to a synchronous checkpoint and
+        exits cleanly so `--checkpoint`-less resume (latest_step) picks up
+        exactly where training stopped. The reference has no preemption
+        story (SURVEY §5.3: recovery = manual --checkpoint N).
+        Returns the previous handlers for restoration; no-op off the main
+        thread (signal.signal raises there)."""
+        self.preempted = threading.Event()
+
+        def _on_term(signum, frame):
+            logger.warning("signal %d: checkpointing at next step boundary",
+                           signum)
+            self.preempted.set()
+
+        previous = []
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous.append((sig, signal.signal(sig, _on_term)))
+            except ValueError:  # not the main thread (e.g. under a test
+                pass            # runner worker) — flag still usable
+        return previous
+
+    def _checkpoint_and_stop(self) -> None:
+        wait_for_pending_saves()
+        save_checkpoint(self.cfg.ckpt_dir(), self.cfg.scale, self.state,
+                        async_save=False)
+        logger.warning("preempted: checkpoint written at step %d; "
+                       "resume with --checkpoint %d (or latest)",
+                       int(self.state.step), int(self.state.step))
+
+    # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        previous_handlers = self._install_preemption_handler()
+        try:
+            return self._train_epochs()
+        finally:
+            for sig, handler in previous_handlers:
+                signal.signal(sig, handler)
+
+    def _train_epochs(self) -> Dict[str, float]:
         cfg = self.cfg
         steps_done = 0
         t0 = time.time()
@@ -186,6 +231,9 @@ class Trainer:
                                 cfg.profile_dir)
                 steps_done += cfg.steps_per_call
                 examples += cfg.batch_size * cfg.steps_per_call
+                if self.preempted.is_set():
+                    self._checkpoint_and_stop()
+                    return {}
                 if steps_done % cfg.interval == 0:
                     loss = float(metrics["loss"])
                     rate = examples / (time.time() - t0)

@@ -46,7 +46,7 @@ def _build_step_fn(model, optimizer, remat: bool, news_table):
                 # and indexes per slot (models/two_tower.py
                 # forward_from_unique)
                 batch["uniq_token"] = jnp.take(tok_table, batch["uniq_id"],
-                                               axis=0)
+                                               axis=0, mode="clip")
                 if derive_attn:
                     batch["uniq_attn"] = (batch["uniq_token"] != 0).astype(
                         jnp.float32)
@@ -55,9 +55,9 @@ def _build_step_fn(model, optimizer, remat: bool, news_table):
                                                   batch["uniq_id"], axis=0)
             else:
                 batch["cdd_token"] = jnp.take(tok_table, batch["cdd_id"],
-                                              axis=0)
+                                              axis=0, mode="clip")
                 batch["his_token"] = jnp.take(tok_table, batch["his_id"],
-                                              axis=0)
+                                              axis=0, mode="clip")
                 if derive_attn:
                     batch["cdd_attn"] = (batch["cdd_token"] != 0).astype(
                         jnp.float32)

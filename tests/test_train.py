@@ -234,3 +234,42 @@ def test_trainer_resume_continues_from_step(setup):
     assert int(t2.state.step) == 10
     t2.train()
     assert int(t2.state.step) == 15
+
+
+def test_trainer_preemption_checkpoints_and_resumes(setup):
+    """SIGTERM mid-training → synchronous checkpoint at the next step
+    boundary, clean return; --checkpoint -1 resumes from that newest
+    checkpoint (the TPU maintenance-event story; the reference has no
+    preemption handling)."""
+    import signal
+    import threading
+
+    tmp, cfg, data, model = setup
+    cfg = cfg.replace(encoderU="attn", step_budget=200, save_step=1000,
+                      epochs=5,
+                      ckpt_root=os.path.join(tmp, "ckpt_preempt"))
+    model2 = build_model(cfg, data.vocab_size, data.user_num)
+    loader = build_train_loader(cfg, data)
+    t1 = Trainer(cfg, model2, loader)
+
+    orig_step = t1.train_step
+    fired = threading.Event()
+
+    def step_then_signal(state, batch, rng):
+        new_state, metrics = orig_step(state, batch, rng)
+        if int(new_state.step) >= 3 and not fired.is_set():
+            fired.set()
+            signal.raise_signal(signal.SIGTERM)
+        return new_state, metrics
+
+    t1.train_step = step_then_signal
+    result = t1.train()  # returns (no SystemExit) after checkpointing
+    assert result == {}
+    stopped_at = latest_step(cfg.ckpt_dir(), cfg.scale)
+    assert stopped_at is not None and 3 <= stopped_at < 200
+
+    cfg2 = cfg.replace(checkpoint=-1, step_budget=5)  # 5 more steps
+    t2 = Trainer(cfg2, model2, loader)
+    assert int(t2.state.step) == stopped_at
+    t2.train()
+    assert int(t2.state.step) == stopped_at + 5
