@@ -152,14 +152,19 @@ class FusedCnnNewsEncoder(nn.Module):
         z = jnp.take(proj.reshape(V, 3 * H), tokens.reshape(B * N, S),
                      axis=0, mode="clip")              # [B*N, S, 3H]
         x = _selector_shift_add(z)
-        x = nn.relu(x + bias.astype(self.dtype))
-        x = x.reshape(B, N, S, H)
+        x = nn.relu(x + bias.astype(self.dtype))          # [B*N, S, H]
         query = self.param("query_words", xavier(), (1, H),
                            jnp.float32).astype(self.dtype)
         keys = jnp.tanh(nn.Dense(H, dtype=self.dtype, kernel_init=xavier(),
                                  name="word_query_project")(x))
-        repr_ = _query_pool(query, keys, x, attn_mask)
-        return x, repr_
+        # pool in the flat [B*N, S, H] domain: unfolding to [B, N, S, H]
+        # first forces layout copies of the 512MB token-domain tensors
+        # (the conv prefers batch-minor); flat pooling reshapes only the
+        # [B*N, H] reprs (12%/step on the v5e flagship bench)
+        flat_mask = (attn_mask.reshape(B * N, S)
+                     if attn_mask is not None else None)
+        repr_ = _query_pool(query, keys, x, flat_mask)    # [B*N, H]
+        return x.reshape(B, N, S, H), repr_.reshape(B, N, H)
 
 
 def fuse_cnn_params(embedding_params: dict, encoder_params: dict) -> dict:

@@ -45,7 +45,7 @@ def test_variant_table():
         bert_variant("nope")
 
 
-@pytest.mark.parametrize("name", ["bert", "synthesizer", "longformer"])
+@pytest.mark.parametrize("name", ["bert", "synthesizer", "longformer", "deberta"])
 def test_bert_model_forward(name):
     cfg = bert_variant(name, vocab_size=VOCAB, signal_length=8,
                        num_layers=2)
@@ -123,6 +123,7 @@ def _family_cfg(model, bert="bert", **kw):
 @pytest.mark.parametrize("bert,encU", [("newsbert", "attn"),
                                        ("distill", "lstm"),
                                        ("synthesizer", "avg"),
+                                       ("deberta", "gru"),
                                        ("funnel", "mha")])
 def test_plm_forward_and_grads(bert, encU, rng):
     cfg = _family_cfg("plm", bert, encoderU=encU)
