@@ -50,8 +50,10 @@ class Trainer:
     def __init__(self, cfg: Config, model, train_loader,
                  news_loader=None, eval_loader=None,
                  mesh=None, sample_batch=None):
+        from ..config import apply_rng_impl
         from ..parallel.mesh import mesh_from_config
-        self.cfg = cfg
+        apply_rng_impl(cfg)  # before any PRNGKey exists (hardware RNG on
+        self.cfg = cfg       # TPU: dropout-mask remat is ~free, config.py)
         self.model = model
         self.train_loader = train_loader
         self.news_loader = news_loader

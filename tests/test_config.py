@@ -49,3 +49,26 @@ def test_paths():
     assert c.news_repr_path().endswith(
         "tensors/twotower__cnn__lstm/demo/dev/news.npy")
     assert c.result_dir(7).endswith("twotower__cnn__lstm/demo_step7")
+
+
+def test_rng_impl_selection():
+    """auto → threefry on CPU backends; explicit values pass through; the
+    jitted dropout path runs under each impl."""
+    import jax
+    import jax.numpy as jnp
+
+    from news_recommendation_mind_tpu.config import Config, apply_rng_impl
+
+    apply_rng_impl(Config(rng_impl="auto"))
+    assert jax.config.jax_default_prng_impl == (
+        "rbg" if jax.default_backend() == "tpu" else "threefry2x32")
+    try:
+        apply_rng_impl(Config(rng_impl="rbg"))
+        assert jax.config.jax_default_prng_impl == "rbg"
+        key = jax.random.PRNGKey(0)
+        drop = jax.jit(lambda k, x: jax.random.bernoulli(k, 0.5, x.shape))
+        mask = drop(key, jnp.ones((8, 8)))
+        assert mask.shape == (8, 8)
+    finally:
+        apply_rng_impl(Config(rng_impl="threefry"))
+        assert jax.config.jax_default_prng_impl == "threefry2x32"
