@@ -252,6 +252,24 @@ class _SelfAttention(nn.Module):
                 0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+        if c.attention_type == "full":
+            # flatten (batch, heads) for the score/context matmuls: fewer
+            # 4-D layout transitions around the prob-dropout tensors
+            # (~2.5%/step on the newsbert v5e profile)
+            z = B * c.num_heads
+            qf = q.reshape(z, S, head_dim)
+            kf = k.reshape(z, S, head_dim)
+            vf = v.reshape(z, S, head_dim)
+            scores = jnp.einsum("zqd,zkd->zqk", qf, kf) / jnp.sqrt(
+                jnp.asarray(head_dim, self.dtype))
+            mask = jnp.broadcast_to(attn_mask[:, None, None, :],
+                                    (B, c.num_heads, S, S)).reshape(z, S, S)
+            probs = masked_softmax(scores, mask)
+            probs = nn.Dropout(c.attention_dropout,
+                               deterministic=deterministic)(probs)
+            out = jnp.einsum("zqk,zkd->zqd", probs, vf)
+            return out.reshape(B, c.num_heads, S, head_dim).transpose(
+                0, 2, 1, 3).reshape(B, S, H)
         if c.attention_type == "local" and c.window > 0 and S > 256:
             # long-sequence path: exact block-banded attention, O(S·BS)
             # scores instead of O(S²) (ops/local_attention.py). Attention
