@@ -113,6 +113,12 @@ class TrainLoader:
             cap = min(self.news_tokens.shape[0],
                       batch_size * (self.cdd_size + his_size))
             self.u_pad = -(-cap // 256) * 256
+            # bucketed padding: batches usually touch far fewer distinct
+            # articles than the cap (popularity skew), and the news tower
+            # pays for every padded row — quantise to at most 8 bucket
+            # widths so XLA compiles a handful of step variants instead
+            # of encoding up to ~45% padding each step
+            self.u_quantum = max(256, -(-self.u_pad // 8 // 256) * 256)
 
     def _dedupify(self, batch: Batch) -> Batch:
         """ids-only batch → + uniq_id [U_pad], cdd_pos/his_pos (see
@@ -123,7 +129,9 @@ class TrainLoader:
         uniq, inv = np.unique(ids, return_inverse=True)
         if len(uniq) > self.u_pad:      # can't happen by construction
             return batch
-        uniq_pad = np.zeros(self.u_pad, np.int32)
+        width = min(self.u_pad,
+                    -(-len(uniq) // self.u_quantum) * self.u_quantum)
+        uniq_pad = np.zeros(width, np.int32)
         uniq_pad[:len(uniq)] = uniq
         out = dict(batch)
         out["uniq_id"] = uniq_pad
