@@ -100,5 +100,9 @@ def test_native_faster_than_numpy(dataset):
         return n / (time.time() - t0)
 
     rate(ln)  # warm
-    r_native, r_numpy = rate(ln), rate(lp)
+    # best-of-3 per side: wall-clock rates are noisy when the machine is
+    # loaded (the full suite runs alongside TPU jobs); the native batcher
+    # is ~15x faster unloaded, so best-of wins are stable
+    r_native = max(rate(ln) for _ in range(3))
+    r_numpy = max(rate(lp) for _ in range(3))
     assert r_native > r_numpy, (r_native, r_numpy)
