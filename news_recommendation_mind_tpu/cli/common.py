@@ -31,8 +31,10 @@ def _restored_state(cfg: Config, model, sample_batch):
     opt = make_optimizer(cfg.lr, cfg.bert_lr)
     template = create_train_state(params, opt)
     if cfg.checkpoint:
+        # -1 = newest checkpoint, matching the Trainer's resume semantics
+        step = None if cfg.checkpoint < 0 else cfg.checkpoint
         return load_checkpoint(cfg.ckpt_dir(), cfg.scale, template,
-                               step=cfg.checkpoint)
+                               step=step)
     try:
         return load_checkpoint(cfg.ckpt_dir(), cfg.scale, template,
                                best=True)

@@ -54,3 +54,12 @@ def test_inspect_mode(base_cfg, capsys):
 def test_encode_mode(base_cfg):
     result = run(base_cfg(mode="encode"))
     assert result["users_per_s"] > 0
+
+
+def test_encode_mode_checkpoint_latest(base_cfg):
+    """-m encode --checkpoint -1 loads the newest checkpoint (the CLI
+    counterpart of the Trainer's preemption-resume semantics)."""
+    cfg = base_cfg(mode="train", step_budget=3, save_step=3)
+    run(cfg)
+    result = run(cfg.replace(mode="encode", checkpoint=-1))
+    assert result["users_per_s"] > 0
