@@ -95,6 +95,11 @@ class Trainer:
                                          True) is False:
             news_table = (train_loader.news_tokens, train_loader.news_attn)
         if cfg.steps_per_call > 1:
+            # superbatches stack K batches on a leading axis — dedup's
+            # bucketed unique-pool widths must be pinned to one width or
+            # the stack has ragged shapes
+            if getattr(train_loader, "dedup", False):
+                train_loader.u_quantum = train_loader.u_pad
             self.train_step = make_train_multistep(
                 model, self.optimizer, steps_per_call=cfg.steps_per_call,
                 mesh=self.mesh, donate=cfg.donate, remat=cfg.remat,
