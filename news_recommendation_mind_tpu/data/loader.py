@@ -117,8 +117,14 @@ class TrainLoader:
             # articles than the cap (popularity skew), and the news tower
             # pays for every padded row — quantise to at most 8 bucket
             # widths so XLA compiles a handful of step variants instead
-            # of encoding up to ~45% padding each step
-            self.u_quantum = max(256, -(-self.u_pad // 8 // 256) * 256)
+            # of encoding up to ~45% padding each step. Multi-process
+            # runs must agree on global array shapes every step, and the
+            # bucket choice depends on each process's local batch, so
+            # sharded loaders pin the width to the cap.
+            if self.num_shards > 1:
+                self.u_quantum = self.u_pad
+            else:
+                self.u_quantum = max(256, -(-self.u_pad // 8 // 256) * 256)
 
     def _dedupify(self, batch: Batch) -> Batch:
         """ids-only batch → + uniq_id [U_pad], cdd_pos/his_pos (see

@@ -80,6 +80,16 @@ def build_data(cfg: Config, splits=("train", "dev"),
             cache_dir=beh_cache_dir, process_index=process_index)
         if uid2idx is None:
             uid2idx = behaviors[split].uid2idx
+    # one-time cache sanity: the hot gathers use mode="clip", which would
+    # silently clamp out-of-range ids — catch a stale cache (tokenized
+    # with a different vocabulary) here instead
+    for split, cache in news.items():
+        top = int(np.max(cache.tokens)) if cache.tokens.size else 0
+        if top >= tokenizer.vocab_size:
+            raise ValueError(
+                f"news token cache for split '{split}' holds id {top} >= "
+                f"vocab_size {tokenizer.vocab_size}; the cache was built "
+                f"with a different vocabulary — delete it and rebuild")
     return DataBundle(tokenizer=tokenizer, news=news, behaviors=behaviors,
                       user_num=len(uid2idx or {}),
                       vocab_size=tokenizer.vocab_size)

@@ -379,15 +379,8 @@ class BertModel(nn.Module):
         return cls  # funnel identity pooler (reference models/PLM.py:30-35)
 
 
-def load_hf_bert_weights(params, hf_state_dict, num_layers: int,
-                         prefix: str = ""):
-    """Map a HuggingFace bert-base state_dict onto BertModel params.
-
-    Usable when a local HF cache exists (zero-egress environments train
-    from random init). Returns a new params dict; unmatched entries keep
-    their random init (strict=False semantics like the synthesizer load,
-    reference models/PLM.py:48).
-    """
+def _hf_putter(hf_state_dict, params, prefix: str):
+    """(state_dict, flax params) → (mutable tree, put) for weight mapping."""
     import numpy as np
 
     sd = {k: np.asarray(v) for k, v in hf_state_dict.items()}
@@ -404,6 +397,38 @@ def load_hf_bert_weights(params, hf_state_dict, num_layers: int,
             node = node[part]
         node[tree_path[-1]] = jnp.asarray(val)
 
+    return p, put
+
+
+def _put_common_layer(put, hf: str, fx: str) -> None:
+    """attn-out + layernorms + FFN mapping shared by BERT and DeBERTa."""
+    put([fx, "attn_out", "kernel"], hf + "attention.output.dense.weight",
+        transpose=True)
+    put([fx, "attn_out", "bias"], hf + "attention.output.dense.bias")
+    put([fx, "attn_norm", "scale"], hf + "attention.output.LayerNorm.weight")
+    put([fx, "attn_norm", "bias"], hf + "attention.output.LayerNorm.bias")
+    put([fx, "ffn_in", "kernel"], hf + "intermediate.dense.weight",
+        transpose=True)
+    put([fx, "ffn_in", "bias"], hf + "intermediate.dense.bias")
+    put([fx, "ffn_out", "kernel"], hf + "output.dense.weight",
+        transpose=True)
+    put([fx, "ffn_out", "bias"], hf + "output.dense.bias")
+    put([fx, "ffn_norm", "scale"], hf + "output.LayerNorm.weight")
+    put([fx, "ffn_norm", "bias"], hf + "output.LayerNorm.bias")
+
+
+def load_hf_bert_weights(params, hf_state_dict, num_layers: int,
+                         prefix: str = ""):
+    """Map a HuggingFace bert-base state_dict onto BertModel params.
+
+    Usable when a local HF cache exists (zero-egress environments train
+    from random init). Returns a new params dict; unmatched entries keep
+    their random init (strict=False semantics like the synthesizer load,
+    reference models/PLM.py:48).
+    """
+    import numpy as np
+
+    p, put = _hf_putter(hf_state_dict, params, prefix)
     put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
     put(["position_embeddings"], "embeddings.position_embeddings.weight")
     put(["token_type_embeddings"], "embeddings.token_type_embeddings.weight")
@@ -418,20 +443,7 @@ def load_hf_bert_weights(params, hf_state_dict, num_layers: int,
             put([fx, "attention", ours, "kernel"], hf + theirs + ".weight",
                 transpose=True)
             put([fx, "attention", ours, "bias"], hf + theirs + ".bias")
-        put([fx, "attn_out", "kernel"], hf + "attention.output.dense.weight",
-            transpose=True)
-        put([fx, "attn_out", "bias"], hf + "attention.output.dense.bias")
-        put([fx, "attn_norm", "scale"],
-            hf + "attention.output.LayerNorm.weight")
-        put([fx, "attn_norm", "bias"], hf + "attention.output.LayerNorm.bias")
-        put([fx, "ffn_in", "kernel"], hf + "intermediate.dense.weight",
-            transpose=True)
-        put([fx, "ffn_in", "bias"], hf + "intermediate.dense.bias")
-        put([fx, "ffn_out", "kernel"], hf + "output.dense.weight",
-            transpose=True)
-        put([fx, "ffn_out", "bias"], hf + "output.dense.bias")
-        put([fx, "ffn_norm", "scale"], hf + "output.LayerNorm.weight")
-        put([fx, "ffn_norm", "bias"], hf + "output.LayerNorm.bias")
+        _put_common_layer(put, hf, fx)
     put(["pooler", "kernel"], "pooler.dense.weight", transpose=True)
     put(["pooler", "bias"], "pooler.dense.bias")
     return p
@@ -443,22 +455,7 @@ def load_hf_deberta_weights(params, hf_state_dict, num_layers: int,
     (deberta variant). HF's fused ``in_proj`` output layout (per-head
     [q|k|v] blocks) matches _DisentangledSelfAttention's reshape, so the
     kernel maps by plain transpose."""
-    import numpy as np
-
-    sd = {k: np.asarray(v) for k, v in hf_state_dict.items()}
-    p = flax_unfreeze(params)
-
-    def put(tree_path, key, transpose=False):
-        if prefix + key not in sd:
-            return
-        val = sd[prefix + key]
-        if transpose:
-            val = val.T
-        node = p["params"]
-        for part in tree_path[:-1]:
-            node = node[part]
-        node[tree_path[-1]] = jnp.asarray(val)
-
+    p, put = _hf_putter(hf_state_dict, params, prefix)
     put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
     put(["embed_norm", "scale"], "embeddings.LayerNorm.weight")
     put(["embed_norm", "bias"], "embeddings.LayerNorm.bias")
@@ -476,20 +473,7 @@ def load_hf_deberta_weights(params, hf_state_dict, num_layers: int,
             hf + "attention.self.pos_q_proj.weight", transpose=True)
         put([fx, "attention", "pos_q_proj", "bias"],
             hf + "attention.self.pos_q_proj.bias")
-        put([fx, "attn_out", "kernel"], hf + "attention.output.dense.weight",
-            transpose=True)
-        put([fx, "attn_out", "bias"], hf + "attention.output.dense.bias")
-        put([fx, "attn_norm", "scale"],
-            hf + "attention.output.LayerNorm.weight")
-        put([fx, "attn_norm", "bias"], hf + "attention.output.LayerNorm.bias")
-        put([fx, "ffn_in", "kernel"], hf + "intermediate.dense.weight",
-            transpose=True)
-        put([fx, "ffn_in", "bias"], hf + "intermediate.dense.bias")
-        put([fx, "ffn_out", "kernel"], hf + "output.dense.weight",
-            transpose=True)
-        put([fx, "ffn_out", "bias"], hf + "output.dense.bias")
-        put([fx, "ffn_norm", "scale"], hf + "output.LayerNorm.weight")
-        put([fx, "ffn_norm", "bias"], hf + "output.LayerNorm.bias")
+        _put_common_layer(put, hf, fx)
     return p
 
 

@@ -180,7 +180,12 @@ class Trainer:
         self.preempted = threading.Event()
 
         def _on_term(signum, frame):
-            logger.warning("signal %d: checkpointing at next step boundary",
+            if self.preempted.is_set() and signum == signal.SIGINT:
+                # second Ctrl+C: the user wants out NOW (e.g. stuck in a
+                # long compile before any step boundary can drain)
+                raise KeyboardInterrupt
+            logger.warning("signal %d: checkpointing at next step boundary"
+                           " (interrupt again to abort immediately)",
                            signum)
             self.preempted.set()
 
@@ -202,7 +207,6 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
-        cfg = self.cfg
         previous_handlers = self._install_preemption_handler()
         try:
             return self._train_epochs()
