@@ -108,6 +108,51 @@ def test_deberta_matches_transformers():
                                atol=2e-4, rtol=2e-4)
 
 
+def test_deberta_gradients_match_transformers():
+    """Backward parity: d(mean of valid hidden states)/d(word embeddings)
+    must match torch autograd through the disentangled attention."""
+    hf_cfg = transformers.DebertaConfig(
+        vocab_size=V, hidden_size=HID, num_hidden_layers=L,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=40, type_vocab_size=0,
+        relative_attention=True, pos_att_type=["c2p", "p2c"],
+        position_biased_input=False, max_relative_positions=-1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(2)
+    hf = transformers.DebertaModel(hf_cfg).eval()
+
+    from news_recommendation_mind_tpu.models.bert import (
+        load_hf_deberta_weights,
+    )
+    variant = bert_variant("deberta", vocab_size=V).replace(
+        hidden_size=HID, num_layers=L, num_heads=HEADS,
+        intermediate_size=INTER, max_position=40,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    model = BertModel(variant)
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, V, (B, S)).astype(np.int32)
+    attn = np.ones((B, S), np.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, attn,
+                        deterministic=True)
+    params = load_hf_deberta_weights(params, hf.state_dict(), num_layers=L)
+
+    def loss_fn(p):
+        hidden, _ = model.apply(p, tokens, attn, deterministic=True)
+        return hidden.mean()
+
+    grads = jax.grad(loss_fn)(params)
+    g_emb = np.asarray(
+        grads["params"]["word_embeddings"]["embedding"], np.float32)
+
+    emb = hf.embeddings.word_embeddings
+    out = hf(input_ids=torch.tensor(tokens.astype(np.int64)),
+             attention_mask=torch.tensor(attn))
+    out.last_hidden_state.mean().backward()
+    g_ref = emb.weight.grad.numpy()
+    np.testing.assert_allclose(g_emb, g_ref, atol=2e-5, rtol=2e-4)
+
+
 def test_deberta_loader_maps_every_weight():
     """Every DebertaModel tensor must land in our param tree (possibly
     transposed) — guards the in_proj interleaving assumption."""
