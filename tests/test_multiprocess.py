@@ -46,7 +46,32 @@ news_loader, eval_loader = build_eval_loaders(
     cfg, data, "dev", num_shards=2, shard_index=pidx)
 metrics = evaluate(model, params, eval_loader, ["auc", "mean_mrr"],
                    news_loader=news_loader, hidden_dim=cfg.hidden_dim)
+
+# sharded TRAIN steps through the production path (device_gather +
+# dedup): multi-process loaders pin the unique-pool width to the cap so
+# every process emits the same shapes each step (SPMD shape agreement)
+from news_recommendation_mind_tpu.parallel import make_mesh, shard_batch
+from news_recommendation_mind_tpu.train import (
+    create_train_state, make_optimizer, make_train_step,
+)
+cfg_t = cfg.replace(device_gather=True)
+tl = build_train_loader(cfg_t, data, num_shards=2, shard_index=pidx)
+assert tl.dedup and tl.u_quantum == tl.u_pad, (tl.u_quantum, tl.u_pad)
+mesh = make_mesh()
+opt = make_optimizer(cfg.lr, cfg.bert_lr)
+step = make_train_step(model, opt, mesh=mesh, donate=False,
+                       news_table=(tl.news_tokens, tl.news_attn))
+state = create_train_state(params, opt)
+it = iter(tl)
+for _ in range(3):
+    batch = shard_batch(next(it), mesh)
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+train_loss = float(m["loss"])
+assert np.isfinite(train_loss), train_loss
+
 if pidx == 0:
+    metrics = dict(metrics)
+    metrics["train_loss"] = train_loss
     with open(os.path.join(root, "metrics.json"), "w") as f:
         json.dump(metrics, f)
 print("process", pidx, "done", metrics)
@@ -99,4 +124,6 @@ def test_two_process_eval_matches_single(tmp_path):
     news_loader, eval_loader = build_eval_loaders(cfg, data, "dev")
     single = evaluate(model, params, eval_loader, ["auc", "mean_mrr"],
                       news_loader=news_loader, hidden_dim=cfg.hidden_dim)
+    train_loss = dist_metrics.pop("train_loss")
+    assert np.isfinite(train_loss)
     assert dist_metrics == single
