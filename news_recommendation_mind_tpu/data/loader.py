@@ -23,7 +23,7 @@ shape, so each loader compiles exactly one executable.
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ MIND file formats (mirrored from reference utils/MIND.py:111-274):
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

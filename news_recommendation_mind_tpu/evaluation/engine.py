@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.two_tower import TwoTower
 from .metrics import cal_metric, group_lists
 
 

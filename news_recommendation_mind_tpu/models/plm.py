@@ -17,7 +17,7 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .bert import BertModel, BertVariantConfig
+from .bert import BertModel
 
 Batch = Dict[str, jnp.ndarray]
 

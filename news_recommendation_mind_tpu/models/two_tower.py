@@ -17,7 +17,7 @@ Capability parity with the reference TwoTower/TwoTowerBaseModel
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ differentiable JAX, so the VJP inherits the same block structure.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ paths, and the schedule is an optax schedule. State is a flax struct pytree
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.struct
 import jax
