@@ -22,7 +22,6 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .attention import masked_softmax
 
 Batch = Dict[str, jnp.ndarray]
 
