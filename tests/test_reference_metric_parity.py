@@ -87,3 +87,22 @@ def test_group_lists_matches_reference(ref_ns):
                                                    preds)
     assert [list(x) for x in ours_labels] == [list(x) for x in ref_labels]
     assert [list(x) for x in ours_preds] == [list(x) for x in ref_preds]
+
+
+def test_prediction_ranks_match_scipy_rankdata():
+    """write_predictions encodes ordinal ranks of descending score; the
+    reference uses ss.rankdata(1 - score, 'ordinal')
+    (utils/Manager.py:836-852) — verify the argsort realization is
+    identical, ties included."""
+    ss = pytest.importorskip("scipy.stats")
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        k = int(rng.integers(1, 40))
+        scores = rng.random(k)
+        if k > 3:  # inject ties
+            scores[1] = scores[0]
+        order = np.argsort(1 - scores, kind="stable")
+        ranks = np.empty(k, dtype=np.int64)
+        ranks[order] = np.arange(1, k + 1)
+        ref = ss.rankdata(1 - scores, method="ordinal").astype(np.int64)
+        np.testing.assert_array_equal(ranks, ref)
