@@ -106,3 +106,15 @@ def test_prediction_ranks_match_scipy_rankdata():
         ranks[order] = np.arange(1, k + 1)
         ref = ss.rankdata(1 - scores, method="ordinal").astype(np.int64)
         np.testing.assert_array_equal(ranks, ref)
+
+
+def test_scalar_metrics_match_reference(ref_ns):
+    """acc / f1 / logloss / rmse operate on flat label/pred lists."""
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, 2, 300).tolist()
+    preds = rng.random(300).tolist()
+    metrics = ["acc", "f1", "logloss", "rmse"]
+    ours = cal_metric(labels, preds, metrics)
+    theirs = ref_ns["cal_metric"](list(labels), list(preds), metrics)
+    for k in metrics:
+        np.testing.assert_allclose(ours[k], theirs[k], atol=1e-9), k
