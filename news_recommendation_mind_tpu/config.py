@@ -144,11 +144,19 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
+def _forms(name: str) -> list:
+    # every flag answers to both dashed and underscored spellings
+    # (--device-gather / --device_gather), deduped when they coincide
+    dashed = name.replace("_", "-")
+    return [f"--{dashed}"] + ([f"--{name}"] if name != dashed else [])
+
+
 def _add_bool_flag(p: argparse.ArgumentParser, name: str, default: bool) -> None:
     # both --x / --no-x so any default can be overridden from the CLI
     group = p.add_mutually_exclusive_group()
-    group.add_argument(f"--{name}", dest=name, action="store_true")
-    group.add_argument(f"--no-{name}", dest=name, action="store_false")
+    group.add_argument(*_forms(name), dest=name, action="store_true")
+    group.add_argument(*[f.replace("--", "--no-", 1) for f in _forms(name)],
+                       dest=name, action="store_false")
     p.set_defaults(**{name: default})
 
 
@@ -166,8 +174,7 @@ def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
         "impr_size": ["-is"], "hidden_dim": ["-hd"], "step_budget": ["--step"],
     }
     for f in dataclasses.fields(Config):
-        opt = f"--{f.name.replace('_', '-')}"
-        names = alias.get(f.name, []) + [opt]
+        names = alias.get(f.name, []) + _forms(f.name)
         if isinstance(getattr(cfg, f.name), bool):
             _add_bool_flag(p, f.name, getattr(cfg, f.name))
             continue

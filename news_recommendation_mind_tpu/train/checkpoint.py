@@ -19,6 +19,7 @@ from typing import Optional
 
 import flax.serialization
 import jax
+import numpy as np
 
 from .state import TrainState
 
@@ -74,10 +75,52 @@ def wait_for_pending_saves() -> None:
         pending.result()
 
 
+def _adapt_topology(template: TrainState, restored: TrainState) -> TrainState:
+    """Cross-topology fixup: reconcile embedding-table row padding.
+
+    The counterpart of the reference's DDP `module.` prefix fixup in both
+    directions (reference utils/Manager.py:308-343): a checkpoint written
+    under one mesh layout must load under another. Pytrees carry no
+    wrapper prefixes, so the only topology-dependent leaf shape is the
+    row-sharded word table, padded to `pad_vocab(V, model_parallel)`
+    (parallel/sharded_embedding.py). Loading across different
+    model-parallel degrees therefore sees a row-count mismatch on
+    'embedding'-path leaves (the table and its Adam moments, which
+    mirror it): truncate the pad rows (exact — they are never read) or
+    zero-pad fresh ones (exact — masked out of every lookup). Any other
+    shape mismatch is a real error and raises with the offending path.
+    """
+    def fix(path, want, got):
+        g = np.asarray(got)
+        if tuple(g.shape) == tuple(np.shape(want)):
+            return got
+        names = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        want_shape = tuple(np.shape(want))
+        if (g.ndim == 2 and len(want_shape) == 2
+                and g.shape[1] == want_shape[1] and "embedding" in names):
+            rows = want_shape[0]
+            if g.shape[0] > rows:
+                return g[:rows]
+            pad = np.zeros((rows - g.shape[0], g.shape[1]), g.dtype)
+            return np.concatenate([g, pad], axis=0)
+        raise ValueError(
+            f"checkpoint/template shape mismatch at {names}: "
+            f"saved {tuple(g.shape)} vs expected {want_shape} "
+            "(only embedding-table row padding adapts across topologies)")
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, want, got: fix(path, want, got), template, restored)
+
+
 def load_checkpoint(ckpt_dir: str, scale: str, template: TrainState,
                     step: Optional[int] = None,
                     best: bool = False) -> TrainState:
-    """Load into the structure of `template` (shape/dtype checked)."""
+    """Load into the structure of `template` (shape/dtype checked).
+
+    Cross-topology: a state saved under one mesh layout loads under
+    another — embedding-table row padding is reconciled (_adapt_topology),
+    the reference's DDP-prefix fixup analog (utils/Manager.py:308-343).
+    """
     if best:
         path = _path(ckpt_dir, scale, "best")
     elif step is not None:
@@ -88,7 +131,8 @@ def load_checkpoint(ckpt_dir: str, scale: str, template: TrainState,
             raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
         path = _path(ckpt_dir, scale, latest)
     with open(path, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        restored = flax.serialization.from_bytes(template, f.read())
+    return _adapt_topology(template, restored)
 
 
 def latest_step(ckpt_dir: str, scale: str) -> Optional[int]:

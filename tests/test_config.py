@@ -72,3 +72,17 @@ def test_rng_impl_selection():
     finally:
         apply_rng_impl(Config(rng_impl="threefry"))
         assert jax.config.jax_default_prng_impl == "threefry2x32"
+
+
+def test_flag_spelling_forms():
+    """Every flag answers to dashed AND underscored spellings, including
+    bool --no- negations (the reference's flags are underscored,
+    utils/Manager.py:44-101; our canonical form is dashed)."""
+    from news_recommendation_mind_tpu.config import parse_config
+
+    c = parse_config(["--no-device-gather", "--signal_length", "12",
+                      "--his-size", "7"])
+    assert c.device_gather is False
+    assert c.signal_length == 12 and c.his_size == 7
+    c2 = parse_config(["--device_gather", "--no-fused_embedding"])
+    assert c2.device_gather is True and c2.fused_embedding is False
