@@ -101,47 +101,34 @@ def run(cfg: Config, model_builder=build_model) -> dict:
         logger.info("predictions written to %s", path)
         return {"prediction_path": path}
     if cfg.mode == "recall":
-        # the reference declares a recall mode and ships BM25/inverted-
-        # index utilities for it (reference utils/Manager.py:52, 117-119;
-        # utils/utils.py:219-410) but has no loader branch or model
-        # support — dead in practice. Here it works end-to-end: a
-        # token-level BM25 inverted index over the split's news recalls
-        # candidates from each user's history tokens; reports recall@K
-        # against the impression's clicked positives.
-        from ..utils.bm25 import BM25Token, construct_inverted_index
-        news_tokens, _ = data.news["dev"].truncated(cfg.signal_length)
-        toks = [row[row != 0] for row in news_tokens]
-        bm25 = BM25Token(toks)
-        vocab = int(news_tokens.max()) + 1
-        top_k = 100
-        inv = construct_inverted_index(toks, bm25, vocab_size=vocab,
-                                       top_k=top_k)
-        b = data.behaviors["dev"]
-        ks = (20, 50, 100)
-        hits = {k: 0.0 for k in ks}
-        total = 0
-        n_news = len(toks)
-        for i in range(len(b)):
-            cdd = b.cdd_flat[b.cdd_offsets[i]:b.cdd_offsets[i + 1]]
-            lab = b.labels_flat[b.cdd_offsets[i]:b.cdd_offsets[i + 1]]
-            positives = set(int(c) for c, l in zip(cdd, lab) if l > 0)
-            if not positives:
-                continue
-            his = b.his_flat[b.his_offsets[i]:b.his_offsets[i + 1]]
-            scores = np.zeros(n_news + 1)
-            for t in set(int(t) for h in his for t in news_tokens[h]
-                         if t != 0):
-                postings = inv[t]
-                scores[postings[:, 0].astype(np.int64)] += postings[:, 1]
-            order = np.argsort(-scores[:n_news])
-            for k in ks:
-                got = len(positives & set(order[:k].tolist()))
-                hits[k] += got / len(positives)
-            total += 1
-        result = {f"recall@{k}": round(hits[k] / max(total, 1), 4)
-                  for k in ks}
+        # the reference declares recall_type {s,d,sd} and ships BM25/
+        # inverted-index utilities (reference utils/Manager.py:52,
+        # 117-119; utils/utils.py:219-410) but has no loader branch or
+        # model support — dead in practice. Here all three retrieval
+        # types work end-to-end (evaluation/recall.py): s = BM25 over
+        # history tokens, d = the trained two-tower scored against the
+        # whole encoded-news table on the MXU, sd = reciprocal-rank
+        # fusion of both. Reports recall@K against clicked positives.
+        from ..evaluation.recall import recall_eval
+        recall_type = cfg.recall_type or "s"
+        news_tokens, news_attn = data.news["dev"].truncated(
+            cfg.signal_length)
+        table = None
+        if "d" in recall_type:
+            news_loader, _ = build_eval_loaders(
+                cfg, data, "dev", num_shards=jax.process_count(),
+                shard_index=jax.process_index())
+            from ..evaluation.engine import encode_all_news
+            table = encode_all_news(model, state.params, news_loader,
+                                    hidden_dim)
+        result = recall_eval(recall_type, data.behaviors["dev"],
+                             news_tokens, news_attn, model=model,
+                             params=state.params, news_table=table,
+                             his_size=cfg.his_size,
+                             descend_history=cfg.descend_history)
         print(result)
-        log_result(cfg.name + "__bm25recall", cfg.scale, 0, result)
+        log_result(f"{cfg.name}__recall_{recall_type}", cfg.scale,
+                   int(state.step), result)
         return result
     if cfg.mode == "analyse":
         # the reference declares this mode but never implements a handler

@@ -67,6 +67,10 @@ class Config:
     checkpoint: int = 0              # resume-from step (-1 = newest)
     seed: int = 42
     metrics: str = "auc,mean_mrr,ndcg@5;10"
+    recall_type: str = ""            # "" | s (BM25) | d (dense two-tower)
+                                     # | sd (RRF hybrid); setting it forces
+                                     # mode=recall like the reference
+                                     # (utils/Manager.py:52, 117-119)
     fast: bool = True                # two-phase fast eval
     interval: int = 10               # progress-log interval (steps)
 
@@ -172,6 +176,7 @@ def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
         "scale": ["-s"], "mode": ["-m"], "epochs": ["-e"],
         "batch_size": ["-bs"], "his_size": ["-hs"], "signal_length": ["-sl"],
         "impr_size": ["-is"], "hidden_dim": ["-hd"], "step_budget": ["--step"],
+        "recall_type": ["-rt"],
     }
     for f in dataclasses.fields(Config):
         names = alias.get(f.name, []) + _forms(f.name)
@@ -205,6 +210,9 @@ def parse_config(argv: Optional[Sequence[str]] = None,
         if k in kw and isinstance(kw[k], list):
             kw[k] = tuple(kw[k])
     kw.update(overrides)
+    if kw.get("recall_type"):
+        # -rt forces recall mode, like the reference (utils/Manager.py:117-119)
+        kw["mode"] = "recall"
     return Config(**kw)
 
 

@@ -1,0 +1,193 @@
+"""Candidate recall (retrieval) evaluation: sparse, dense, and hybrid.
+
+The reference declares a recall mode with ``-rt/--recall_type {s,d,sd}``
+(reference utils/Manager.py:52, 117-119) and ships BM25/inverted-index
+utilities for it (reference utils/utils.py:219-410), but has no loader
+branch or model support — dead in practice. Here all three work
+end-to-end against each impression's clicked positives:
+
+- ``s`` (sparse): token-level BM25 inverted index over the split's news;
+  a user's history tokens vote for candidate articles (pure host-side,
+  no model needed).
+- ``d`` (dense): the trained two-tower itself as the retriever — every
+  news is encoded once into the fast-eval table (reference
+  utils/Manager.py:489-505), the user representation is scored against
+  the ENTIRE corpus in one ``[B,H]x[H,news]`` matmul on the MXU, and
+  candidates come from ``jax.lax.top_k``. This is the TPU-native recall
+  the reference's vestigial flags gesture at.
+- ``sd`` (hybrid): reciprocal-rank fusion of the sparse and dense lists
+  (RRF, score = Σ 1/(C + rank); rank-based, so the two systems' score
+  scales never need calibrating).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Set
+
+import numpy as np
+
+DEFAULT_KS = (20, 50, 100)
+RRF_C = 60  # standard reciprocal-rank-fusion constant
+
+
+def impression_positives(behaviors, j: int) -> Set[int]:
+    """Clicked news ids of eval-impression chunk ``j``."""
+    cdd = behaviors.candidates(j)
+    lab = behaviors.labels(j)
+    return set(int(c) for c, l in zip(cdd, lab) if l > 0)
+
+
+def bm25_rank(news_tokens: np.ndarray, behaviors, top_k: int = 100,
+              ) -> List[np.ndarray]:
+    """Sparse retrieval: per-impression top-k news ids by BM25 token votes.
+
+    ``news_tokens`` [n_news+1, S] is the split's truncated token cache
+    (row 0 = pad). Each distinct non-pad token in the user's history
+    contributes its inverted-index postings (reference
+    utils/utils.py:219-410 BM25/construct_inverted_index).
+    """
+    from ..utils.bm25 import BM25Token, construct_inverted_index
+
+    toks = [row[row != 0] for row in news_tokens]
+    bm25 = BM25Token(toks)
+    vocab = int(news_tokens.max()) + 1
+    inv = construct_inverted_index(toks, bm25, vocab_size=vocab,
+                                   top_k=top_k)
+    n_news = len(toks)
+    out: List[np.ndarray] = []
+    for j in range(len(behaviors)):
+        his = behaviors.history(j)
+        scores = np.zeros(n_news + 1)
+        for t in set(int(t) for h in his for t in news_tokens[h] if t != 0):
+            postings = inv[t]
+            scores[postings[:, 0].astype(np.int64)] += postings[:, 1]
+        out.append(np.argsort(-scores[:n_news])[:top_k])
+    return out
+
+
+def dense_rank(model, params, news_table: np.ndarray, behaviors,
+               his_size: int, top_k: int = 100, batch_size: int = 256,
+               news_tokens: Optional[np.ndarray] = None,
+               news_attn: Optional[np.ndarray] = None,
+               descend_history: bool = False) -> List[np.ndarray]:
+    """Dense retrieval: per-impression top-k news ids by two-tower score.
+
+    Scores every user representation against the whole encoded-news table
+    (one MXU matmul per batch) and takes ``lax.top_k`` on device. History
+    representations come from the same table for two-tower models
+    (mathematically identical to live encoding at eval — see
+    evaluation/engine.py); one-tower models (XFormer) encode the user
+    from raw history tokens, so ``news_tokens``/``news_attn`` must be
+    passed for those.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.loader import _pad_histories
+
+    user_from_table = getattr(model, "fast_user_from_table", True)
+    if not user_from_table and news_tokens is None:
+        raise ValueError("one-tower dense recall needs news_tokens/news_attn")
+
+    table = jax.device_put(jnp.asarray(news_table))
+
+    if user_from_table:
+        def fn(params, table, his_id, his_mask, user_id):
+            his_repr = jnp.take(table, his_id, axis=0)       # [B, N, H]
+            user = model.apply(params, his_repr, his_mask, user_id,
+                               method=type(model).encode_user_from_reprs)
+            scores = jnp.einsum("buh,nh->bn", user, table)   # [B, news+1]
+            scores = scores.at[:, 0].set(-jnp.inf)           # mask pad row
+            _, idx = jax.lax.top_k(scores, top_k)
+            return idx
+    else:
+        tok_t = jax.device_put(jnp.asarray(news_tokens))
+        attn_t = jax.device_put(jnp.asarray(news_attn))
+
+        def fn(params, table, his_id, his_mask, user_id):
+            his_token = jnp.take(tok_t, his_id, axis=0)      # [B, N, S]
+            his_attn = jnp.take(attn_t, his_id, axis=0)
+            user = model.apply(params, his_token, his_attn, his_mask,
+                               user_id, method=type(model).encode_user)
+            scores = jnp.einsum("buh,nh->bn", user, table)
+            scores = scores.at[:, 0].set(-jnp.inf)
+            _, idx = jax.lax.top_k(scores, top_k)
+            return idx
+
+    fn = jax.jit(fn)
+    his_ids, his_mask = _pad_histories(behaviors, his_size, descend_history)
+    uindex = behaviors.uindex.astype(np.int32)
+    n = len(behaviors)
+    out: List[np.ndarray] = []
+    for start in range(0, n, batch_size):
+        rows = np.arange(start, min(start + batch_size, n))
+        pad = batch_size - len(rows)
+        sel = np.concatenate([rows, np.zeros(pad, np.int64)]) if pad else rows
+        idx = np.asarray(fn(params, table,
+                            jnp.asarray(his_ids[sel]),
+                            jnp.asarray(his_mask[sel]),
+                            jnp.asarray(uindex[sel])))
+        out.extend(idx[i] for i in range(len(rows)))
+    return out
+
+
+def rrf_fuse(rank_a: np.ndarray, rank_b: np.ndarray, top_k: int = 100,
+             c: int = RRF_C) -> np.ndarray:
+    """Reciprocal-rank fusion of two ranked id lists → fused top-k ids.
+
+    score(doc) = Σ_systems 1/(c + rank_system(doc)), ranks 1-based; docs
+    absent from a system contribute nothing from it. Ties broken by id
+    for determinism.
+    """
+    scores: Dict[int, float] = {}
+    for ranked in (rank_a, rank_b):
+        for r, doc in enumerate(np.asarray(ranked).tolist()):
+            scores[int(doc)] = scores.get(int(doc), 0.0) + 1.0 / (c + r + 1)
+    fused = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return np.array([doc for doc, _ in fused[:top_k]], dtype=np.int64)
+
+
+def recall_at_k(ranked: Sequence[np.ndarray],
+                positives: Sequence[Set[int]],
+                ks: Sequence[int] = DEFAULT_KS) -> Dict[str, float]:
+    """Mean per-impression recall@k over impressions with ≥1 positive."""
+    hits = {k: 0.0 for k in ks}
+    total = 0
+    for ids, pos in zip(ranked, positives):
+        if not pos:
+            continue
+        id_list = [int(i) for i in np.asarray(ids).tolist()]
+        for k in ks:
+            got = len(pos & set(id_list[:k]))
+            hits[k] += got / len(pos)
+        total += 1
+    return {f"recall@{k}": round(hits[k] / max(total, 1), 4) for k in ks}
+
+
+def recall_eval(recall_type: str, behaviors, news_tokens: np.ndarray,
+                news_attn: Optional[np.ndarray] = None,
+                model=None, params=None, news_table=None,
+                his_size: int = 50, ks: Sequence[int] = DEFAULT_KS,
+                descend_history: bool = False) -> Dict[str, float]:
+    """Dispatch one recall evaluation by type ('s' | 'd' | 'sd')."""
+    top_k = max(ks)
+    positives = [impression_positives(behaviors, j)
+                 for j in range(len(behaviors))]
+    if recall_type not in ("s", "d", "sd"):
+        raise ValueError(f"unknown recall_type {recall_type!r}")
+    sparse = (bm25_rank(news_tokens, behaviors, top_k)
+              if "s" in recall_type else None)
+    dense = None
+    if "d" in recall_type:
+        assert model is not None and params is not None \
+            and news_table is not None, "dense recall needs a model + table"
+        dense = dense_rank(model, params, news_table, behaviors, his_size,
+                           top_k, news_tokens=news_tokens,
+                           news_attn=news_attn,
+                           descend_history=descend_history)
+    if recall_type == "s":
+        ranked: Sequence[np.ndarray] = sparse
+    elif recall_type == "d":
+        ranked = dense
+    else:
+        ranked = [rrf_fuse(s, d, top_k) for s, d in zip(sparse, dense)]
+    return recall_at_k(ranked, positives, ks)

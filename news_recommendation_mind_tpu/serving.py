@@ -61,7 +61,9 @@ class Recommender:
                                  signal_length=cfg.signal_length)
         self.table = jnp.asarray(encode_all_news(
             self.model, self.params, news_loader, self.hidden_dim))
+        self.idx2nid = {v: k for k, v in self.nid2idx.items()}
         self._score_fns: Dict[int, callable] = {}
+        self._retrieve_fns: Dict[int, callable] = {}
 
     def _score_fn(self, width: int):
         if width not in self._score_fns:
@@ -109,3 +111,52 @@ class Recommender:
         order = np.argsort(-scores, kind="stable")
         ranked = [(candidate_nids[i], float(scores[i])) for i in order]
         return ranked[:top_k] if top_k else ranked
+
+    def _retrieve_fn(self, k: int):
+        # jitted per top-k width (k is static for lax.top_k)
+        if k not in self._retrieve_fns:
+            model = self.model
+
+            def fn(params, table, his_idx, his_mask, user_id):
+                his = jnp.take(table, his_idx, axis=0)[None]   # [1,N,H]
+                user = model.apply(
+                    params, his, his_mask[None], user_id,
+                    method=type(model).encode_user_from_reprs)  # [1,1,H]
+                d = jnp.asarray(table.shape[-1], table.dtype)
+                scores = jax.nn.sigmoid(
+                    jnp.einsum("nh,buh->bn", table, user)[0] / jnp.sqrt(d))
+                scores = scores.at[0].set(-jnp.inf)  # row 0 = pad article
+                return jax.lax.top_k(scores, k)
+
+            self._retrieve_fns[k] = jax.jit(fn)
+        return self._retrieve_fns[k]
+
+    def retrieve(self, history_nids: Sequence[str], k: int = 10,
+                 user_id: Optional[int] = None,
+                 exclude_history: bool = True) -> List[Tuple[str, float]]:
+        """Candidate generation: top-k articles from the WHOLE corpus.
+
+        Dense retrieval over the encoded-news table — one [1,H]x[H,news]
+        matmul on the MXU plus lax.top_k; the TPU-native realisation of
+        the recall capability the reference declares but never implements
+        (reference utils/Manager.py:52, 117-119). Ranking is identical to
+        calling ``rank`` with every article as a candidate (same scaled
+        dot product + sigmoid).
+        """
+        his = np.zeros(self.his_size, np.int32)
+        his_mask = np.zeros(self.his_size, np.float32)
+        kept = [self.nid2idx.get(n, 0) for n in history_nids][:self.his_size]
+        his[:len(kept)] = kept
+        his_mask[:max(len(kept), 1)] = 1.0
+        uid = jnp.asarray([user_id or 0], jnp.int32)
+        # over-fetch so dropping history items still leaves k results
+        fetch = min(k + (len(kept) if exclude_history else 0),
+                    self.table.shape[0] - 1)
+        vals, idx = self._retrieve_fn(fetch)(
+            self.params, self.table, jnp.asarray(his),
+            jnp.asarray(his_mask), uid)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        skip = set(kept) if exclude_history else ()
+        out = [(self.idx2nid.get(int(i), str(int(i))), float(v))
+               for i, v in zip(idx, vals) if int(i) not in skip]
+        return out[:k]

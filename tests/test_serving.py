@@ -60,3 +60,17 @@ def test_recommender_ranks_preferred_topics(trained):
     # unknown news ids degrade gracefully (pad article, low info)
     out = rec.score(history, ["UNKNOWN1", candidates[0]])
     assert out.shape == (2,)
+
+    # retrieve() = candidate generation over the WHOLE corpus; ranking
+    # must agree exactly with brute-force score() over every article
+    all_nids = [rec.idx2nid[i] for i in range(1, rec.table.shape[0])]
+    got = rec.retrieve(history, k=10, exclude_history=False)
+    scores = rec.score(history, all_nids)
+    order = np.argsort(-scores, kind="stable")[:10]
+    assert [n for n, _ in got] == [all_nids[i] for i in order]
+    assert [s for _, s in got] == pytest.approx(scores[order].tolist(),
+                                                rel=1e-5)
+    # history exclusion drops clicked items but still returns k results
+    got_ex = rec.retrieve(history, k=10, exclude_history=True)
+    assert len(got_ex) == 10
+    assert not (set(n for n, _ in got_ex) & set(history))
