@@ -115,10 +115,11 @@ def run(cfg: Config, model_builder=build_model) -> dict:
             cfg.signal_length)
         table = None
         if "d" in recall_type:
-            news_loader, _ = build_eval_loaders(
-                cfg, data, "dev", num_shards=jax.process_count(),
-                shard_index=jax.process_index())
+            from ..data.loader import NewsLoader
             from ..evaluation.engine import encode_all_news
+            news_loader = NewsLoader(data.news["dev"],
+                                     batch_size=cfg.batch_size_news,
+                                     signal_length=cfg.signal_length)
             table = encode_all_news(model, state.params, news_loader,
                                     hidden_dim)
         result = recall_eval(recall_type, data.behaviors["dev"],
@@ -126,6 +127,9 @@ def run(cfg: Config, model_builder=build_model) -> dict:
                              params=state.params, news_table=table,
                              his_size=cfg.his_size,
                              descend_history=cfg.descend_history)
+        if jax.process_index() != 0:
+            # like dev/test eval, only process 0 reports (one ledger line)
+            return {}
         print(result)
         log_result(f"{cfg.name}__recall_{recall_type}", cfg.scale,
                    int(state.step), result)

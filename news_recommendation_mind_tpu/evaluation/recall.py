@@ -60,7 +60,11 @@ def bm25_rank(news_tokens: np.ndarray, behaviors, top_k: int = 100,
         for t in set(int(t) for h in his for t in news_tokens[h] if t != 0):
             postings = inv[t]
             scores[postings[:, 0].astype(np.int64)] += postings[:, 1]
-        out.append(np.argsort(-scores[:n_news])[:top_k])
+        order = np.argsort(-scores[:n_news])
+        # only genuinely retrieved docs: zero-score filler (and the pad
+        # article, id 0) must not occupy recall slots or earn RRF credit
+        order = order[(scores[order] > 0) & (order != 0)]
+        out.append(order[:top_k])
     return out
 
 
@@ -88,6 +92,7 @@ def dense_rank(model, params, news_table: np.ndarray, behaviors,
     if not user_from_table and news_tokens is None:
         raise ValueError("one-tower dense recall needs news_tokens/news_attn")
 
+    top_k = min(top_k, news_table.shape[0])  # corpora smaller than top_k
     table = jax.device_put(jnp.asarray(news_table))
 
     if user_from_table:
@@ -170,16 +175,14 @@ def recall_eval(recall_type: str, behaviors, news_tokens: np.ndarray,
                 descend_history: bool = False) -> Dict[str, float]:
     """Dispatch one recall evaluation by type ('s' | 'd' | 'sd')."""
     top_k = max(ks)
-    positives = [impression_positives(behaviors, j)
-                 for j in range(len(behaviors))]
     if recall_type not in ("s", "d", "sd"):
         raise ValueError(f"unknown recall_type {recall_type!r}")
     sparse = (bm25_rank(news_tokens, behaviors, top_k)
               if "s" in recall_type else None)
     dense = None
     if "d" in recall_type:
-        assert model is not None and params is not None \
-            and news_table is not None, "dense recall needs a model + table"
+        if model is None or params is None or news_table is None:
+            raise ValueError("dense recall needs a model + encoded table")
         dense = dense_rank(model, params, news_table, behaviors, his_size,
                            top_k, news_tokens=news_tokens,
                            news_attn=news_attn,
@@ -190,4 +193,17 @@ def recall_eval(recall_type: str, behaviors, news_tokens: np.ndarray,
         ranked = dense
     else:
         ranked = [rrf_fuse(s, d, top_k) for s, d in zip(sparse, dense)]
-    return recall_at_k(ranked, positives, ks)
+    # eval behaviors are impression CHUNKS (impr_size candidates each,
+    # reference utils/MIND.py:225-226); chunks of one impression share a
+    # history (identical ranked list), so merge positives per impr_idx and
+    # score each impression ONCE — recall is then invariant to impr_size
+    first: Dict[int, int] = {}
+    pos_by: Dict[int, Set[int]] = {}
+    for j in range(len(behaviors)):
+        key = int(behaviors.impr_idx[j])
+        first.setdefault(key, j)
+        pos_by.setdefault(key, set()).update(
+            impression_positives(behaviors, j))
+    keys = list(first)
+    return recall_at_k([ranked[first[k]] for k in keys],
+                       [pos_by[k] for k in keys], ks)

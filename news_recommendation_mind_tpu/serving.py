@@ -149,14 +149,23 @@ class Recommender:
         his[:len(kept)] = kept
         his_mask[:max(len(kept), 1)] = 1.0
         uid = jnp.asarray([user_id or 0], jnp.int32)
-        # over-fetch so dropping history items still leaves k results
-        fetch = min(k + (len(kept) if exclude_history else 0),
-                    self.table.shape[0] - 1)
-        vals, idx = self._retrieve_fn(fetch)(
-            self.params, self.table, jnp.asarray(his),
-            jnp.asarray(his_mask), uid)
-        vals, idx = np.asarray(vals), np.asarray(idx)
-        skip = set(kept) if exclude_history else ()
-        out = [(self.idx2nid.get(int(i), str(int(i))), float(v))
-               for i, v in zip(idx, vals) if int(i) not in skip]
+        # exclusion covers the FULL click history, not just the his_size
+        # items the user encoder consumes
+        skip = (set(self.nid2idx.get(n, 0) for n in history_nids) - {0}
+                if exclude_history else set())
+        n_real = self.table.shape[0] - 1
+        # over-fetch a STATIC width per k (one jit each, like the score
+        # buckets); fall back to an exact width only when a history longer
+        # than his_size exhausts the margin
+        for fetch in (min(k + (self.his_size if exclude_history else 0),
+                          n_real),
+                      min(k + len(skip), n_real)):
+            vals, idx = self._retrieve_fn(fetch)(
+                self.params, self.table, jnp.asarray(his),
+                jnp.asarray(his_mask), uid)
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            out = [(self.idx2nid.get(int(i), str(int(i))), float(v))
+                   for i, v in zip(idx, vals) if int(i) not in skip]
+            if len(out) >= k or fetch >= n_real:
+                break
         return out[:k]

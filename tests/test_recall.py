@@ -93,6 +93,67 @@ def test_dense_rank_matches_bruteforce(toy_model):
         np.testing.assert_array_equal(np.asarray(got[i]), want)
 
 
+def test_bm25_rank_returns_only_retrieved_docs():
+    """Zero-score filler and the pad article must not occupy recall slots
+    (they would earn unearned RRF credit in the hybrid)."""
+    from news_recommendation_mind_tpu.evaluation.recall import bm25_rank
+    # 4 articles + pad row, position 0 = [CLS] (101) as in the token
+    # cache (BM25Token strips it); token 7 appears only in docs 1 and 3
+    news_tokens = np.array([[0, 0, 0], [101, 7, 2], [101, 3, 4],
+                            [101, 7, 5], [101, 6, 8]], np.int32)
+    b = Behaviors(mode="dev", impr_idx=np.array([0]),
+                  uindex=np.zeros(1, np.int32),
+                  his_flat=np.array([1], np.int32),
+                  his_offsets=np.array([0, 1]),
+                  cdd_flat=np.array([3], np.int32),
+                  cdd_offsets=np.array([0, 1]),
+                  labels_flat=np.array([1], np.int32))
+    ranked = bm25_rank(news_tokens, b, top_k=100)[0]
+    assert 0 not in ranked.tolist()
+    # only docs sharing a history token (7 → {1,3}; 2 → {1}) are retrieved
+    assert set(ranked.tolist()) == {1, 3}
+
+
+def test_recall_eval_invariant_to_impression_chunking(toy_model):
+    """Chunks of one impression (same impr_idx, shared history) must be
+    scored once with merged positives — recall cannot depend on impr_size
+    (reference utils/MIND.py:225-226 chunking)."""
+    from news_recommendation_mind_tpu.evaluation.recall import recall_eval
+    model, params = toy_model
+    rng = np.random.default_rng(7)
+    table = rng.normal(size=(N_NEWS + 1, HIDDEN)).astype(np.float32)
+    his = np.array([4, 9, 2], np.int32)
+    whole = Behaviors(mode="dev", impr_idx=np.array([5]),
+                      uindex=np.zeros(1, np.int32),
+                      his_flat=his, his_offsets=np.array([0, 3]),
+                      cdd_flat=np.array([1, 2, 3, 4], np.int32),
+                      cdd_offsets=np.array([0, 4]),
+                      labels_flat=np.array([1, 0, 0, 1], np.int32))
+    split = Behaviors(mode="dev", impr_idx=np.array([5, 5]),
+                      uindex=np.zeros(2, np.int32),
+                      his_flat=np.concatenate([his, his]),
+                      his_offsets=np.array([0, 3, 6]),
+                      cdd_flat=np.array([1, 2, 3, 4], np.int32),
+                      cdd_offsets=np.array([0, 2, 4]),
+                      labels_flat=np.array([1, 0, 0, 1], np.int32))
+    kw = dict(model=model, params=params, news_table=table,
+              his_size=HIS_SIZE, ks=(5, 10))
+    a = recall_eval("d", whole, np.zeros((N_NEWS + 1, 2), np.int32), **kw)
+    b = recall_eval("d", split, np.zeros((N_NEWS + 1, 2), np.int32), **kw)
+    assert a == b
+
+
+def test_dense_rank_small_corpus_clamps_topk(toy_model):
+    """top_k larger than the corpus must clamp, not crash lax.top_k."""
+    model, params = toy_model
+    rng = np.random.default_rng(5)
+    table = rng.normal(size=(N_NEWS + 1, HIDDEN)).astype(np.float32)
+    b = _toy_behaviors(3, rng)
+    got = dense_rank(model, params, table, b, HIS_SIZE, top_k=1000,
+                     batch_size=4)
+    assert all(len(g) == N_NEWS + 1 for g in got)
+
+
 def test_rrf_fuse_hand_computed():
     fused = rrf_fuse(np.array([1, 2, 3]), np.array([3, 4, 5]), top_k=5)
     # 3 appears in both (ranks 3 and 1) and wins; 2/4 tie at rank 2 →

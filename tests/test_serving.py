@@ -74,3 +74,9 @@ def test_recommender_ranks_preferred_topics(trained):
     got_ex = rec.retrieve(history, k=10, exclude_history=True)
     assert len(got_ex) == 10
     assert not (set(n for n, _ in got_ex) & set(history))
+    # exclusion covers the FULL history, including items past his_size
+    # (cfg.his_size=10), via the exact-width refetch fallback
+    long_history = all_nids[:15]
+    got_long = rec.retrieve(long_history, k=10, exclude_history=True)
+    assert len(got_long) == 10
+    assert not (set(n for n, _ in got_long) & set(long_history))
