@@ -114,11 +114,18 @@ def build_news_cache(news_tsv: str, cache_dir: str, tokenizer,
         attn = np.zeros((n + 1, max_token_length), dtype=np.uint8)
         encoded = None
         from .tokenizer import WordTokenizer
+        from .wordpiece import WordPieceTokenizer
         if isinstance(tokenizer, WordTokenizer):
             # native (C++/OpenMP) batch tokenization for the one-time
             # cache build; Python fallback below is semantically identical
             try:
                 from .native_tokenizer import encode_corpus
+                encoded = encode_corpus(tokenizer, texts, max_token_length)
+            except Exception:
+                encoded = None
+        elif isinstance(tokenizer, WordPieceTokenizer):
+            try:
+                from .native_wordpiece import encode_corpus
                 encoded = encode_corpus(tokenizer, texts, max_token_length)
             except Exception:
                 encoded = None

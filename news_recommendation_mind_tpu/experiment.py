@@ -50,14 +50,30 @@ def build_data(cfg: Config, splits=("train", "dev"),
                process_index: int = 0) -> DataBundle:
     ensure_dataset(cfg)
     cache_base = os.path.join(cfg.cache_root, "MIND")
-    vocab_path = os.path.join(cache_base, "vocab", f"{cfg.scale}.json")
 
     backend = "word" if cfg.embedding in ("random", "glove") else cfg.bert
+    # word backends persist a corpus word vocab (json); PLM backends a
+    # trained WordPiece vocab (HF vocab.txt format). A real pretrained
+    # vocab.txt dropped under {data_root}/vocab/ takes precedence so real
+    # MIND runs emit HF-identical ids (see data/tokenizer.py resolution
+    # order).
+    if backend == "word":
+        vocab_path = os.path.join(cache_base, "vocab", f"{cfg.scale}.json")
+    else:
+        vocab_path = os.path.join(cache_base, "vocab",
+                                  f"{cfg.scale}_{backend}_wordpiece.txt")
+    pretrained_vocab_paths = [
+        os.path.join(cfg.data_root, "vocab", f"{backend}.txt"),
+        os.path.join(cfg.data_root, "vocab", "vocab.txt"),
+    ]
     train_news_tsv = os.path.join(split_dir(cfg, "train"), "news.tsv")
     corpus = None
-    if backend == "word" and not os.path.exists(vocab_path):
+    have_pretrained = backend != "word" and any(
+        os.path.exists(p) for p in pretrained_vocab_paths)
+    if not os.path.exists(vocab_path) and not have_pretrained:
         _, corpus = parse_news_tsv(train_news_tsv)
-    tokenizer = get_tokenizer(backend, vocab_path=vocab_path, corpus=corpus)
+    tokenizer = get_tokenizer(backend, vocab_path=vocab_path, corpus=corpus,
+                              pretrained_vocab_paths=pretrained_vocab_paths)
 
     news: Dict[str, NewsCache] = {}
     behaviors: Dict[str, Behaviors] = {}
