@@ -118,14 +118,20 @@ void batcher_make_batch(void* vctx, const int64_t* idx, int64_t bs,
 
     int32_t lab = 0;
     if (shuffle_pos) {
-      // Fisher-Yates over the candidate slots; track the positive
+      // Fisher-Yates over the candidate slots, tracking the positive's
+      // SLOT through the swaps (not by value: a sampled negative can
+      // equal the positive id when an impression lists a news twice,
+      // and value-matching would then mislabel — the numpy path
+      // (data/loader.py) tracks by permutation and is immune)
+      int64_t pos_slot = 0;  // positive starts at slot 0
       for (int64_t j = cdd - 1; j > 0; --j) {
         int64_t t = rng.bounded((uint32_t)(j + 1));
         std::swap(cdd_row[j], cdd_row[t]);
         std::swap(cmask[j], cmask[t]);
+        if (pos_slot == j) pos_slot = t;
+        else if (pos_slot == t) pos_slot = j;
       }
-      for (int64_t j = 0; j < cdd; ++j)
-        if (cdd_row[j] == c.pos[s]) { lab = (int32_t)j; break; }
+      lab = (int32_t)pos_slot;
     }
     label[i] = lab;
     user_id[i] = c.uindex[s];

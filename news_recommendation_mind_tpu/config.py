@@ -79,6 +79,7 @@ class Config:
     mesh_shape: Tuple[int, ...] = () # () = all devices on one 'data' axis
     mesh_axes: Tuple[str, ...] = ("data",)
     model_parallel: int = 1          # size of 'model' axis for sharded tables
+    zero1: bool = False              # ZeRO-1: shard dense Adam moments over 'data'
     prefetch: int = 2                # host→device prefetch depth
     donate: bool = True              # donate train state in the jitted step
     remat: bool = False              # jax.checkpoint the encoders

@@ -9,13 +9,20 @@ configurable flax encoder covers the whole variant table:
   MLP on the value projection, no QK product — reference
   models/Modules/Synthesizer.py:16-53),
 - local+global windowed attention ("local": banded window + global first
-  token) — the TPU-friendly realization of the Longformer(w=32) /
-  BigBird(block=64) / Reformer(chunked-LSH) sparse-attention family the
-  reference swaps in for long user sequences (reference models/PLM.py:66-78,
-  models/XFormer.py:18-42). The banded pattern is mask-based XLA today
-  (exact for window attention + global CLS; LSH bucketing is approximated
-  by the local window) and is the target of the Pallas windowed kernel in
-  ops/.
+  token) — the Longformer(w=32) pattern (reference models/PLM.py:66-78);
+  long sequences ride the fused Pallas banded kernel in ops/,
+- BigBird block-sparse attention ("bigbird": 3-block sliding window +
+  global first block + per-head STATIC random blocks, deterministic at
+  trace time — reference models/PLM.py:66-78's
+  BigBirdConfig(block_size=64, num_random_blocks=3)),
+- Reformer attention (alternating "chunked" local layers and shared-QK
+  "lsh" layers: argmax-over-random-rotations bucketing, stable sort,
+  chunked same-bucket attention, unsort — reference models/PLM.py:66-78's
+  google/reformer-crime-and-punishment),
+- Funnel pooling pyramid (pool_blocks: stride-2 CLS-preserving mean
+  pooling between layer blocks — reference models/PLM.py:30-35).
+  All patterns are value-tested against dense-mask formulations in
+  tests/test_sparse_attention.py.
 
 Variant table (layers / pooler / windows / special ids / xformer lengths)
 mirrors reference utils/Manager.py:917-1026. Pretrained HF weights load via
@@ -46,8 +53,18 @@ class BertVariantConfig:
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     eps: float = 1e-12
-    attention_type: str = "full"      # full | synthesizer | local | disentangled
+    # full | synthesizer | local | disentangled | bigbird | chunked | lsh
+    attention_type: str = "full"
     window: int = 0                   # local attention half-window
+    # per-layer attention-type cycle (reformer alternates chunked/LSH,
+    # google/reformer-crime-and-punishment attn_layers); empty = uniform
+    attention_layers: Tuple[str, ...] = ()
+    block_size: int = 0               # bigbird block width
+    num_random_blocks: int = 3        # bigbird random blocks per row-block
+    chunk_size: int = 0               # reformer chunk width
+    num_buckets: int = 32             # reformer LSH buckets (even)
+    layer_seed: int = 0               # static per-layer seed (LSH/random)
+    pool_blocks: int = 0              # funnel: pooling blocks (stride-2)
     # disentangled (DeBERTa) attention: which relative components to add
     # and whether absolute position embeddings feed the input
     # (microsoft/deberta-base: c2p+p2c, position_biased_input=False)
@@ -80,20 +97,35 @@ _VARIANTS = {
                                  pos_att_types=("c2p", "p2c"),
                                  position_biased_input=False,
                                  type_vocab_size=0),
-    "funnel": BertVariantConfig(num_layers=6, pooler="cls"),
+    # funnel: the pooling-pyramid encoder (funnel-transformer/small's
+    # B4-4-4 layout, reference models/PLM.py:30-35) — layers split into
+    # pool_blocks blocks with stride-2 CLS-preserving mean pooling
+    # between blocks; identity pooler
+    "funnel": BertVariantConfig(num_layers=6, pooler="cls",
+                                pool_blocks=3),
     "synthesizer": BertVariantConfig(attention_type="synthesizer"),
     "longformer": BertVariantConfig(attention_type="local", window=32,
                                     max_position=1026, pad_token_id=1,
                                     cls_token_id=0, sep_token_id=2,
                                     max_length=1024,
                                     max_length_per_history=21),
-    "bigbird": BertVariantConfig(attention_type="local", window=64,
+    # bigbird: sliding window of 3 blocks + global first block + per-head
+    # STATIC random blocks (BigBird paper / reference models/PLM.py:66-78
+    # BigBirdConfig(block_size=64, num_random_blocks=3)); the random
+    # pattern is a deterministic trace-time constant so the program stays
+    # one compiled executable
+    "bigbird": BertVariantConfig(attention_type="bigbird", block_size=64,
+                                 num_random_blocks=3,
                                  max_position=1024, cls_token_id=65,
                                  sep_token_id=66, max_length=1024,
                                  max_length_per_history=21),
+    # reformer: alternating chunked-local / LSH layers with shared-QK
+    # (google/reformer-crime-and-punishment attn_layers pattern,
+    # reference models/PLM.py:66-78); chunk 64, one look-back/ahead chunk
     "reformer": BertVariantConfig(hidden_size=256, num_layers=6,
                                   num_heads=8, intermediate_size=1024,
-                                  attention_type="local", window=64,
+                                  attention_layers=("chunked", "lsh"),
+                                  chunk_size=64, num_buckets=32,
                                   max_position=1280, pad_token_id=2,
                                   cls_token_id=1, sep_token_id=2,
                                   pooler="cls", max_length=1280,
@@ -113,6 +145,181 @@ def bert_variant(name: str, *, vocab_size: Optional[int] = None,
     if num_layers is not None:
         kw["num_layers"] = num_layers
     return cfg.replace(**kw)
+
+
+def _bigbird_block_pattern(S: int, block: int, n_rand: int, n_heads: int,
+                           seed: int):
+    """Static per-head BigBird block pattern → [n_heads, nb, nb] bool.
+
+    Sliding window of 3 blocks + global first block (both directions) +
+    ``n_rand`` random non-window blocks per (head, query-block), drawn
+    with a deterministic seed at trace time (BigBird paper §3;
+    reference models/PLM.py:66-78 builds BigBirdConfig(block_size=64,
+    num_random_blocks=3)). Static so one executable serves every step.
+    """
+    import numpy as np
+    nb = -(-S // block)
+    idx = np.arange(nb)
+    keep = np.broadcast_to(
+        (np.abs(idx[:, None] - idx[None, :]) <= 1)
+        | (idx[:, None] == 0) | (idx[None, :] == 0),
+        (n_heads, nb, nb)).copy()
+    rng = np.random.default_rng(seed + 1)
+    for h in range(n_heads):
+        for qb in range(1, nb):
+            cand = idx[(np.abs(idx - qb) > 1) & (idx != 0)]
+            if len(cand):
+                pick = rng.choice(len(cand), size=min(n_rand, len(cand)),
+                                  replace=False)
+                keep[h, qb, cand[pick]] = True
+    return keep
+
+
+def _chunk_neighbors(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., nc, c, d] → [..., nc, 3c, d]: previous|self|next chunk
+    (zero-padded at the edges, non-wrapping)."""
+    pad = [(0, 0)] * (x.ndim - 3)
+    prev = jnp.pad(x[..., :-1, :, :], pad + [(1, 0), (0, 0), (0, 0)])
+    nxt = jnp.pad(x[..., 1:, :, :], pad + [(0, 1), (0, 0), (0, 0)])
+    return jnp.concatenate([prev, x, nxt], axis=-2)
+
+
+def _pad_to_chunks(t: jnp.ndarray, c: int, axis: int) -> jnp.ndarray:
+    S = t.shape[axis]
+    pad = (-S) % c
+    if pad == 0:
+        return t
+    widths = [(0, 0)] * t.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(t, widths)
+
+
+def chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      key_mask: jnp.ndarray, chunk: int,
+                      extra_key_mask: Optional[jnp.ndarray] = None,
+                      self_penalty: bool = False,
+                      positions: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
+    """Chunked local attention: each query chunk attends to its own and
+    both adjacent key chunks (Reformer LocalSelfAttention semantics,
+    chunk look-back/ahead 1). q/k/v [B, h, S, d]; key_mask [B, h, S] (or
+    broadcastable); O(S·3c) scores. With ``self_penalty`` (LSH shared-QK
+    layers) a query's own position scores -1e5 so it is used only when
+    nothing else is available (HF Reformer's mask_self trick)."""
+    B, h, S, d = q.shape
+    qc = _pad_to_chunks(q, chunk, 2)
+    kc = _pad_to_chunks(k, chunk, 2)
+    vc = _pad_to_chunks(v, chunk, 2)
+    mc = _pad_to_chunks(jnp.broadcast_to(key_mask, (B, h, S)), chunk, 2)
+    Sp = qc.shape[2]
+    nc = Sp // chunk
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(Sp), (B, h, Sp))
+    else:
+        positions = _pad_to_chunks(
+            jnp.broadcast_to(positions, (B, h, S)), chunk, 2)
+
+    def chunks(t):
+        return t.reshape(*t.shape[:2], nc, chunk, *t.shape[3:])
+
+    qc = chunks(qc)
+    k3 = _chunk_neighbors(chunks(kc))
+    v3 = _chunk_neighbors(chunks(vc))
+    m3 = _chunk_neighbors(chunks(mc)[..., None])[..., 0]      # [B,h,nc,3c]
+    p_q = chunks(positions)                                   # [B,h,nc,c]
+    p_k = _chunk_neighbors(chunks(positions)[..., None])[..., 0]
+    # zero-padded neighbor chunks at the edges must not be mistaken for
+    # real position 0 keys: pad-edge entries have mask 0 already
+    scores = jnp.einsum("bhncd,bhnkd->bhnck", qc, k3) / jnp.sqrt(
+        jnp.asarray(d, q.dtype))
+    if self_penalty:
+        self_pair = p_q[..., :, None] == p_k[..., None, :]
+        scores = jnp.where(self_pair, scores - 1e5, scores)
+    mask = m3[..., None, :]                                   # [B,h,nc,1,3c]
+    if extra_key_mask is not None:
+        mask = mask * extra_key_mask
+    probs = masked_softmax(scores, mask)
+    out = jnp.einsum("bhnck,bhnkd->bhncd", probs, v3)
+    return out.reshape(B, h, Sp, d)[:, :, :S]
+
+
+def lsh_attention(qk: jnp.ndarray, v: jnp.ndarray, key_mask: jnp.ndarray,
+                  chunk: int, num_buckets: int, seed: int) -> jnp.ndarray:
+    """Single-round LSH attention with shared QK (Reformer paper §3 /
+    google/reformer-crime-and-punishment's lsh layers, reference
+    models/PLM.py:66-78).
+
+    Buckets come from argmax over random rotations [xR; -xR] (the
+    rotation matrix is a deterministic trace-time constant), tokens are
+    stably sorted by (bucket, position), attention runs chunked over the
+    sorted order restricted to same-bucket pairs (adjacent chunk
+    look-back/ahead catches bucket spill), keys are the L2-normalized
+    queries, self-pairs are soft-masked, and outputs are scattered back
+    to the original order. Exactness of the sort/gather plumbing is
+    pinned by tests/test_sparse_attention.py against a dense mask built
+    from the same buckets.
+    """
+    import numpy as np
+    B, h, S, d = qk.shape
+    rot_np = np.random.default_rng(seed + 17).standard_normal(
+        (d, num_buckets // 2)).astype(np.float32)
+    rot = jnp.asarray(rot_np, qk.dtype)
+    rotated = jnp.einsum("bhsd,dr->bhsr", qk, rot)
+    buckets = jnp.argmax(
+        jnp.concatenate([rotated, -rotated], axis=-1), axis=-1)  # [B,h,S]
+    km = jnp.broadcast_to(key_mask, (B, h, S))
+    # padding tokens sort to the end in their own bucket
+    buckets = jnp.where(km > 0, buckets, num_buckets)
+
+    pos = jnp.broadcast_to(jnp.arange(S), (B, h, S))
+    order = jnp.argsort(buckets * (S + 1) + pos, axis=-1)     # stable
+    take = lambda t: jnp.take_along_axis(t, order, axis=-1)
+    qs = jnp.take_along_axis(qk, order[..., None], axis=2)
+    vs = jnp.take_along_axis(v, order[..., None], axis=2)
+    bs = take(buckets)
+    ms = take(km)
+    ps = take(pos)
+
+    # shared-QK: keys are the normalized queries (Reformer §3)
+    ks = qs / (jnp.linalg.norm(qs.astype(jnp.float32), axis=-1,
+                               keepdims=True) + 1e-6).astype(qs.dtype)
+    # same-bucket restriction rides the chunked mask
+    bq = _pad_to_chunks(bs, chunk, 2)
+    nc = bq.shape[-1] // chunk
+    bq = bq.reshape(B, h, nc, chunk)
+    bk = _chunk_neighbors(bq[..., None])[..., 0]
+    same_bucket = (bq[..., :, None] == bk[..., None, :]).astype(qk.dtype)
+    out_sorted = chunked_attention(qs, ks, vs, ms, chunk,
+                                   extra_key_mask=same_bucket,
+                                   self_penalty=True, positions=ps)
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(out_sorted, inv[..., None], axis=2)
+
+
+def funnel_pool(x: jnp.ndarray, attn_mask: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stride-2 CLS-preserving pooling between funnel blocks.
+
+    Position 0 ([CLS]) passes through; the rest mean-pool in pairs
+    (mask-weighted so padding never dilutes a real token); the pooled
+    mask keeps a position iff either source position was valid
+    (Funnel-Transformer §2.2's pool-query-only pyramid, applied to the
+    full hidden state as in the encoder-only configuration)."""
+    B, S, H = x.shape
+    cls_x, cls_m = x[:, :1], attn_mask[:, :1]
+    rest_x, rest_m = x[:, 1:], attn_mask[:, 1:]
+    pad = (-(S - 1)) % 2
+    if pad:
+        rest_x = jnp.pad(rest_x, ((0, 0), (0, pad), (0, 0)))
+        rest_m = jnp.pad(rest_m, ((0, 0), (0, pad)))
+    P = rest_x.shape[1] // 2
+    rx = rest_x.reshape(B, P, 2, H)
+    rm = rest_m.reshape(B, P, 2)
+    denom = jnp.maximum(rm.sum(-1, keepdims=True), 1.0)
+    pooled = (rx * rm[..., None]).sum(2) / denom
+    pooled_m = (rm.sum(-1) > 0).astype(attn_mask.dtype)
+    return (jnp.concatenate([cls_x, pooled], axis=1),
+            jnp.concatenate([cls_m, pooled_m], axis=1))
 
 
 def _local_global_band(mask: jnp.ndarray, window: int) -> jnp.ndarray:
@@ -243,15 +450,49 @@ class _SelfAttention(nn.Module):
             return probs @ v
 
         head_dim = H // c.num_heads
-        q = nn.Dense(H, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(H, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(H, dtype=self.dtype, name="value")(x)
 
         def heads(t):
             return t.reshape(B, S, c.num_heads, head_dim).transpose(
                 0, 2, 1, 3)
 
+        if c.attention_type == "lsh":
+            # Reformer LSH layer: shared QK (one projection serves both,
+            # keys are normalized queries inside lsh_attention)
+            qk = heads(nn.Dense(H, use_bias=False, dtype=self.dtype,
+                                name="query_key")(x))
+            v = heads(nn.Dense(H, dtype=self.dtype, name="value")(x))
+            out = lsh_attention(qk, v, attn_mask[:, None, :],
+                                c.chunk_size or 64, c.num_buckets,
+                                seed=c.layer_seed)
+            return out.transpose(0, 2, 1, 3).reshape(B, S, H)
+
+        q = nn.Dense(H, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(H, dtype=self.dtype, name="key")(x)
+        v = nn.Dense(H, dtype=self.dtype, name="value")(x)
         q, k, v = heads(q), heads(k), heads(v)
+
+        if c.attention_type == "chunked":
+            # Reformer local layer: chunked attention, look-back/ahead 1
+            out = chunked_attention(q, k, v, attn_mask[:, None, :],
+                                    c.chunk_size or 64)
+            return out.transpose(0, 2, 1, 3).reshape(B, S, H)
+        if c.attention_type == "bigbird":
+            block = c.block_size or 64
+            pattern = _bigbird_block_pattern(S, block, c.num_random_blocks,
+                                             c.num_heads, c.layer_seed)
+            # expand block pattern on the fly (the stored constant is the
+            # tiny [nh, nb, nb] block map)
+            pat = jnp.asarray(pattern, self.dtype)
+            pat = jnp.repeat(jnp.repeat(pat, block, axis=1), block,
+                             axis=2)[:, :S, :S]
+            mask = pat[None] * attn_mask[:, None, None, :]
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(head_dim, self.dtype))
+            probs = masked_softmax(scores, mask)
+            probs = nn.Dropout(c.attention_dropout,
+                               deterministic=deterministic)(probs)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+            return out.transpose(0, 2, 1, 3).reshape(B, S, H)
         if c.attention_type == "full":
             # flatten (batch, heads) for the score/context matmuls: fewer
             # 4-D layout transitions around the prob-dropout tensors
@@ -358,8 +599,23 @@ class BertModel(nn.Module):
                                  nn.initializers.normal(0.02),
                                  (2 * max_rel, c.hidden_size), jnp.float32)
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+        # funnel: pool the sequence (stride 2, CLS-preserving) at block
+        # boundaries — layers split as evenly as possible into
+        # pool_blocks blocks (funnel-transformer/small's Bx-x-x pyramid)
+        pool_at = set()
+        if c.pool_blocks > 1:
+            pool_at = {round(c.num_layers * b / c.pool_blocks)
+                       for b in range(1, c.pool_blocks)}
         for i in range(c.num_layers):
-            x = _Layer(c, self.dtype, name=f"layer_{i}")(
+            if i in pool_at:
+                x, attn_mask = funnel_pool(x, attn_mask)
+            lc = c
+            if c.attention_layers:
+                lc = c.replace(attention_type=c.attention_layers[
+                    i % len(c.attention_layers)], layer_seed=i)
+            elif c.attention_type in ("bigbird", "lsh"):
+                lc = c.replace(layer_seed=i)
+            x = _Layer(lc, self.dtype, name=f"layer_{i}")(
                 x, attn_mask, deterministic, rel_emb=rel_emb)
         pooled = self._pool(x)
         return x, pooled

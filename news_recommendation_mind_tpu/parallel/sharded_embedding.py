@@ -92,7 +92,9 @@ class ShardedWordEmbedding(nn.Module):
 
 
 def partition_rules(mesh: Mesh, vocab_threshold: int = 1024,
-                    model_axis: str = "model"
+                    model_axis: str = "model",
+                    zero1_axis: Optional[str] = None,
+                    zero1_min_size: int = 2048
                     ) -> Callable[[tuple, jnp.ndarray], NamedSharding]:
     """Leaf → NamedSharding rule for a TrainState pytree.
 
@@ -100,15 +102,37 @@ def partition_rules(mesh: Mesh, vocab_threshold: int = 1024,
     table and its Adam moments, which mirror the params tree) is sharded
     P(model, None); everything else is replicated. Used for jit
     in/out_shardings so sharded state never materializes replicated.
-    """
+
+    With ``zero1_axis`` (ZeRO stage 1, SURVEY §2.5's "cheap win" row —
+    the reference replicates plain Adam everywhere): dense-tower Adam
+    moments (`mu`/`nu` leaves under opt_state) shard their leading axis
+    over that mesh axis when divisible and ≥ ``zero1_min_size`` elements.
+    Adam's update is elementwise, so sharded-moment updates are exact;
+    XLA inserts the update all-gather implied by replicated params
+    (pinned by tests/test_zero1.py equality vs replicated)."""
     has_model = model_axis in mesh.shape and mesh.shape[model_axis] > 1
+    z_size = mesh.shape.get(zero1_axis, 1) if zero1_axis else 1
 
     def rule(path: tuple, leaf) -> NamedSharding:
-        names = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        segs = [str(getattr(k, "key", getattr(k, "name", k)))
+                .strip(".'\"[]").lower() for k in path]
+        names = "/".join(segs)
         if (has_model and hasattr(leaf, "ndim") and leaf.ndim == 2
                 and leaf.shape[0] >= vocab_threshold
                 and "embedding" in names):
             return NamedSharding(mesh, P(model_axis, None))
+        if (zero1_axis and z_size > 1 and "opt_state" in segs
+                and ("mu" in segs or "nu" in segs)
+                and hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.size >= zero1_min_size):
+            # shard the first axis divisible by the mesh axis (the
+            # flagship table is [30522, 768]: rows don't divide 8, the
+            # feature axis does)
+            for ax in range(leaf.ndim):
+                if leaf.shape[ax] % z_size == 0:
+                    spec = [None] * leaf.ndim
+                    spec[ax] = zero1_axis
+                    return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return rule

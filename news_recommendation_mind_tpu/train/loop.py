@@ -79,13 +79,17 @@ class Trainer:
         # its shards across steps (dryrun_multichip's layout, now the
         # Trainer path for --model-parallel)
         self.state_sharding = None
-        if self.mesh.shape.get("model", 1) > 1:
+        zero1_axis = ("data" if cfg.zero1
+                      and self.mesh.shape.get("data", 1) > 1 else None)
+        if self.mesh.shape.get("model", 1) > 1 or zero1_axis:
             from ..parallel import (partition_rules, shard_train_state,
                                     state_shardings)
             vt = getattr(getattr(model, "embedding", None),
                          "vocab_size", None)
-            rule = (partition_rules(self.mesh, vocab_threshold=vt)
-                    if vt else partition_rules(self.mesh))
+            kw = dict(zero1_axis=zero1_axis)
+            if vt:
+                kw["vocab_threshold"] = vt
+            rule = partition_rules(self.mesh, **kw)
             self._shard_rule = rule
             self.state = shard_train_state(self.state, self.mesh, rule)
             self.state_sharding = state_shardings(self.state, self.mesh,

@@ -26,11 +26,31 @@ def get_logger(name: str) -> logging.Logger:
     return logger
 
 
+# one id per process: interleaved runs appending to the shared
+# performance.log stay attributable, and out-of-order step numbers are
+# explained by their run column (round-1 ADVICE findings)
+_RUN_ID: Optional[str] = None
+_LAST_KEY: Optional[tuple] = None
+
+
+def _run_id() -> str:
+    global _RUN_ID
+    if _RUN_ID is None:
+        import time
+        _RUN_ID = f"{time.strftime('%Y%m%dT%H%M%S')}.{os.getpid()}"
+    return _RUN_ID
+
+
 def log_result(name: str, scale: str, step: int, metrics: Dict[str, float],
                hyper: Optional[Dict] = None,
                log_path: str = "performance.log",
                email: Optional[str] = None) -> None:
-    line = (f"{name}\tscale={scale}\tstep={step}\t"
+    global _LAST_KEY
+    key = (name, scale, step, tuple(sorted(metrics.items())))
+    if key == _LAST_KEY:
+        return  # drop immediate duplicates (e.g. final eval re-logging
+    _LAST_KEY = key  # the last periodic eval's identical metrics)
+    line = (f"run={_run_id()}\t{name}\tscale={scale}\tstep={step}\t"
             + "\t".join(f"{k}={v}" for k, v in metrics.items()))
     if hyper:
         line += "\t" + " ".join(f"{k}={v}" for k, v in hyper.items())

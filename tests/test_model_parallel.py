@@ -45,11 +45,60 @@ def test_trainer_model_parallel(tmp_path):
     spec = trainer.state.params["params"]["embedding"]["embedding"] \
         .sharding.spec
     assert tuple(spec) == ("model", None)
-    batch = next(iter(loader))
     from news_recommendation_mind_tpu.parallel import shard_batch
-    state, metrics = trainer.train_step(
-        trainer.state, shard_batch(batch, mesh), trainer.rng)
+    it = iter(loader)
+    state = trainer.state
+    for _ in range(3):  # multiple steps, not a single-step smoke
+        state, metrics = trainer.train_step(
+            state, shard_batch(next(it), mesh), trainer.rng)
     assert np.isfinite(float(metrics["loss"]))
     # output state keeps the sharded layout (no replicated roundtrip)
     spec2 = state.params["params"]["embedding"]["embedding"].sharding.spec
     assert tuple(spec2) == ("model", None)
+    trainer.state = state
+
+    # --- full lifecycle under the dp x mp mesh (VERDICT weak item 5) ---
+    # evaluation with the sharded table
+    metrics = trainer.evaluate_now()
+    assert 0.0 <= metrics["auc"] <= 1.0
+
+    # checkpoint save/load under the mp mesh: bitwise roundtrip
+    from news_recommendation_mind_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    from news_recommendation_mind_tpu.train import (create_train_state,
+                                                    make_optimizer)
+    save_checkpoint(cfg.ckpt_dir(), cfg.scale, state, async_save=False)
+    restored = load_checkpoint(cfg.ckpt_dir(), cfg.scale,
+                               jax.device_get(state), step=int(state.step))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state)),
+                    jax.tree_util.tree_leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # cross-topology: the mp-written checkpoint loads into a dp-only
+    # model (row padding reconciled by _adapt_topology) and evaluates
+    # fused_embedding=False: the mp tree (table + conv) matches the
+    # unfused dp tree modulo row padding (fused<->unfused conversion is
+    # a separate surface, models/news_encoders.fuse_cnn_params)
+    cfg_dp = cfg.replace(model_parallel=1, fused_embedding=False)
+    model_dp = build_model(cfg_dp, data.vocab_size, data.user_num)
+    loader_dp = build_train_loader(cfg_dp, data)
+    from news_recommendation_mind_tpu.data.loader import ensure_tokens
+    params_dp = model_dp.init(jax.random.PRNGKey(0),
+                              ensure_tokens(next(iter(loader_dp)),
+                                            loader_dp))
+    opt = make_optimizer(cfg.lr, cfg.bert_lr)
+    template = create_train_state(params_dp, opt)
+    state_dp = load_checkpoint(cfg.ckpt_dir(), cfg.scale, template,
+                               step=int(state.step))
+    assert int(state_dp.step) == int(state.step)
+    news_loader2, eval_loader2 = build_eval_loaders(cfg_dp, data, "dev")
+    m2 = evaluate_params(model_dp, state_dp.params, eval_loader2,
+                         news_loader2, cfg_dp)
+    # same (unpadded) table rows -> same eval metrics as the mp model
+    assert abs(m2["auc"] - metrics["auc"]) < 1e-6
+
+
+def evaluate_params(model, params, eval_loader, news_loader, cfg):
+    from news_recommendation_mind_tpu.evaluation.engine import evaluate
+    return evaluate(model, params, eval_loader, ["auc"],
+                    news_loader=news_loader, hidden_dim=cfg.hidden_dim)

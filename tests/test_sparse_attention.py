@@ -1,0 +1,178 @@
+"""Value tests for the real sparse-attention architectures (VERDICT
+round-1 item 4): BigBird block-sparse, Reformer chunked + LSH, Funnel
+pooling. Each pattern is checked against an equivalent dense-mask
+formulation computed independently in the test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_recommendation_mind_tpu.models.attention import masked_softmax
+from news_recommendation_mind_tpu.models.bert import (
+    BertModel, _bigbird_block_pattern, bert_variant, chunked_attention,
+    funnel_pool, lsh_attention)
+
+
+def _dense_reference(q, k, v, mask):
+    """Plain masked attention: mask [B,h,S,S] (or broadcastable)."""
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+        jnp.asarray(d, q.dtype))
+    probs = masked_softmax(scores, mask)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def test_bigbird_pattern_structure():
+    S, block, n_rand, nh = 512, 64, 3, 4
+    pat = _bigbird_block_pattern(S, block, n_rand, nh, seed=0)
+    nb = S // block
+    assert pat.shape == (nh, nb, nb)
+    idx = np.arange(nb)
+    win = (np.abs(idx[:, None] - idx[None, :]) <= 1)
+    glob = (idx[:, None] == 0) | (idx[None, :] == 0)
+    for h in range(nh):
+        # window + global always kept
+        assert (pat[h] | ~(win | glob)).all()
+        # each non-global query block has exactly n_rand random extras
+        for qb in range(1, nb):
+            extra = pat[h, qb] & ~(win[qb] | glob[qb])
+            avail = (~(win[qb] | glob[qb]))[1:].sum()
+            assert extra.sum() == min(n_rand, avail), (h, qb)
+    # per-head patterns differ; deterministic across calls
+    assert any(not np.array_equal(pat[0], pat[h]) for h in range(1, nh))
+    np.testing.assert_array_equal(
+        pat, _bigbird_block_pattern(S, block, n_rand, nh, seed=0))
+    assert not np.array_equal(
+        pat, _bigbird_block_pattern(S, block, n_rand, nh, seed=1))
+
+
+def test_chunked_attention_matches_dense_mask():
+    B, h, S, d, c = 2, 3, 50, 8, 8   # S not a chunk multiple on purpose
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, h, S, d)), jnp.float32)
+               for _ in range(3))
+    key_mask = jnp.asarray(
+        (rng.random((B, S)) > 0.2).astype(np.float32))
+    out = chunked_attention(q, k, v, key_mask[:, None, :], c)
+
+    # dense equivalent: key j visible to query i iff |chunk(i)-chunk(j)|<=1
+    ci = np.arange(S) // c
+    adj = (np.abs(ci[:, None] - ci[None, :]) <= 1).astype(np.float32)
+    mask = adj[None, None] * np.asarray(key_mask)[:, None, None, :]
+    ref = _dense_reference(q, k, v, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_lsh_attention_matches_dense_same_bucket_mask():
+    B, h, S, d, c, nb = 2, 2, 64, 16, 8, 8
+    rng = np.random.default_rng(1)
+    qk = jnp.asarray(rng.standard_normal((B, h, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, h, S, d)), jnp.float32)
+    key_mask = jnp.asarray(
+        (rng.random((B, S)) > 0.15).astype(np.float32))
+    out = lsh_attention(qk, v, key_mask[:, None, :], c, nb, seed=5)
+
+    # reproduce the bucketing + sorted-chunk adjacency independently
+    rot = np.random.default_rng(5 + 17).standard_normal(
+        (d, nb // 2)).astype(np.float32)
+    rotated = np.einsum("bhsd,dr->bhsr", np.asarray(qk), rot)
+    buckets = np.argmax(np.concatenate([rotated, -rotated], -1), -1)
+    km = np.broadcast_to(np.asarray(key_mask)[:, None, :], buckets.shape)
+    buckets = np.where(km > 0, buckets, nb)
+    pos = np.arange(S)
+    ks = np.asarray(qk) / (np.linalg.norm(np.asarray(qk), axis=-1,
+                                          keepdims=True) + 1e-6)
+    ref = np.zeros_like(np.asarray(v))
+    for b in range(B):
+        for hh in range(h):
+            order = np.argsort(buckets[b, hh] * (S + 1) + pos,
+                               kind="stable")
+            rank = np.empty(S, np.int64)
+            rank[order] = np.arange(S)
+            chunk_of = rank // c
+            for i in range(S):
+                sc = np.full(S, -np.inf, np.float64)
+                for j in range(S):
+                    if km[b, hh, j] <= 0:
+                        continue
+                    if abs(chunk_of[i] - chunk_of[j]) > 1:
+                        continue
+                    if buckets[b, hh, i] != buckets[b, hh, j]:
+                        continue
+                    s = float(np.asarray(qk)[b, hh, i] @ ks[b, hh, j])
+                    s /= np.sqrt(d)
+                    if i == j:
+                        s -= 1e5
+                    sc[j] = s
+                if np.isfinite(sc).any():
+                    e = np.exp(sc - sc[np.isfinite(sc)].max())
+                    e[~np.isfinite(sc)] = 0
+                    p = e / e.sum()
+                    ref[b, hh, i] = p @ np.asarray(v)[b, hh]
+    valid_q = km > 0
+    np.testing.assert_allclose(np.asarray(out)[valid_q], ref[valid_q],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_funnel_pool_values_and_mask():
+    B, S, H = 2, 7, 4
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, S, H)), jnp.float32)
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 0, 0],
+                        [1, 1, 1, 1, 0, 0, 0]], jnp.float32)
+    px, pm = funnel_pool(x, mask)
+    # S=7 -> cls + ceil(6/2)=3 pooled positions
+    assert px.shape == (B, 4, H) and pm.shape == (B, 4)
+    # CLS passes through
+    np.testing.assert_array_equal(np.asarray(px[:, 0]), np.asarray(x[:, 0]))
+    # full pair -> mean; half-masked pair -> the valid token alone
+    np.testing.assert_allclose(np.asarray(px[0, 1]),
+                               np.asarray((x[0, 1] + x[0, 2]) / 2),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(px[1, 2]), np.asarray(x[1, 3]),
+                               rtol=1e-6)  # pair (3,4): only 3 valid
+    np.testing.assert_array_equal(np.asarray(pm),
+                                  [[1, 1, 1, 0], [1, 1, 1, 0]])
+
+
+@pytest.mark.parametrize("name,S", [("bigbird", 256), ("reformer", 160),
+                                    ("funnel", 64)])
+def test_variant_forward_and_grads(name, S):
+    cfg = bert_variant(name, vocab_size=500).replace(
+        hidden_size=32, intermediate_size=64, num_heads=4, num_layers=2,
+        chunk_size=16, block_size=32, num_buckets=8)
+    model = BertModel(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 500, (2, S)), jnp.int32)
+    mask = jnp.ones((2, S), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    hidden, pooled = model.apply(params, ids, mask)
+    assert pooled.shape == (2, 32)
+    if name == "funnel":
+        # 3 blocks over 2 layers -> at least one pooling boundary hit
+        assert hidden.shape[1] < S
+
+    def loss(p):
+        _, pl = model.apply(p, ids, mask)
+        return jnp.sum(pl ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_reformer_layers_alternate():
+    cfg = bert_variant("reformer", vocab_size=100).replace(
+        hidden_size=16, intermediate_size=32, num_heads=2, num_layers=4,
+        chunk_size=8, num_buckets=4)
+    model = BertModel(cfg, dtype=jnp.float32)
+    ids = jnp.zeros((1, 32), jnp.int32)
+    mask = jnp.ones((1, 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    layers = params["params"]
+    # even layers chunked (separate q/k), odd layers LSH (shared QK)
+    assert "query" in layers["layer_0"]["attention"]
+    assert "key" in layers["layer_0"]["attention"]
+    assert "query_key" in layers["layer_1"]["attention"]
+    assert "key" not in layers["layer_1"]["attention"]
