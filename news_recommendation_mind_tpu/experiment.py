@@ -223,6 +223,100 @@ def build_model(cfg: Config, vocab_size: int, user_num: int,
                     user_encoder=user_enc, hidden_dim=cfg.hidden_dim)
 
 
+def _read_local_state_dict(path: str):
+    """Load a HF checkpoint file (pytorch_model.bin or model.safetensors)
+    into a {name: ndarray} dict without any network access."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def find_hf_checkpoint(cfg: Config) -> Optional[str]:
+    """Path of a locally cached HF checkpoint for cfg.bert, if present.
+
+    Searched under ``{data_root}/hf/{variant}/`` (drop the files there by
+    hand in zero-egress environments) — the file-based counterpart of the
+    reference's AutoModel.from_pretrained downloads
+    (reference models/PLM.py:21-84)."""
+    base = os.path.join(cfg.data_root, "hf", cfg.bert)
+    for name in ("model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(base, name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+# variant → (state-dict mapper, HF submodule prefix to strip)
+_HF_LOADERS = {
+    "bert": ("load_hf_bert_weights", "bert."),
+    "newsbert": ("load_hf_bert_weights", "bert."),
+    # synthesizer: BERT weights land where paths exist; the score MLP has
+    # no pretrained counterpart and keeps random init (strict=False, like
+    # reference models/PLM.py:40-48)
+    "synthesizer": ("load_hf_bert_weights", "bert."),
+    # bigbird's HF state dict uses BERT layer naming; the position table
+    # is sliced to our max_position before mapping
+    "bigbird": ("load_hf_bert_weights", "bert."),
+    "distill": ("load_hf_distilbert_weights", "distilbert."),
+    "deberta": ("load_hf_deberta_weights", "deberta."),
+    "longformer": ("load_hf_longformer_weights", "longformer."),
+    # funnel (pooling pyramid w/ relative attention) and reformer (axial
+    # positions, LSH-specific params) have no weight-compatible mapping —
+    # they train from init, documented in PARITY.md
+}
+
+
+def maybe_load_hf_weights(cfg: Config, params, verbose: bool = True):
+    """Initialise PLM/XFormer BERT towers from a locally cached HF
+    checkpoint when one exists. Returns (params, loaded: bool)."""
+    if cfg.model not in ("plm", "xformer") or cfg.bert not in _HF_LOADERS:
+        return params, False
+    path = find_hf_checkpoint(cfg)
+    if path is None:
+        return params, False
+    from .models import bert as bert_mod
+    fn_name, prefix = _HF_LOADERS[cfg.bert]
+    loader = getattr(bert_mod, fn_name)
+    sd = _read_local_state_dict(path)
+    # bare *Model state dicts carry no submodule prefix; full-model ones do
+    if not any(k.startswith(prefix) for k in sd):
+        prefix = ""
+    if cfg.bert == "bigbird":
+        key = prefix + "embeddings.position_embeddings.weight"
+        if key in sd:
+            sd = dict(sd)
+            sd[key] = np.asarray(sd[key])[: _plm_max_position(cfg)]
+    tree = flax_unfreeze_params(params)
+    loaded_any = False
+    for tower in ("bert", "news_bert"):
+        if tower in tree["params"]:
+            n_layers = sum(1 for k in tree["params"][tower]
+                           if k.startswith("layer_"))
+            sub = loader({"params": tree["params"][tower]}, sd,
+                         num_layers=n_layers, prefix=prefix)
+            tree["params"][tower] = sub["params"]
+            loaded_any = True
+    if loaded_any and verbose:
+        import logging
+        logging.getLogger("news_recommendation_mind_tpu").info(
+            "initialised %s tower(s) from local HF checkpoint %s",
+            cfg.bert, path)
+    return tree, loaded_any
+
+
+def _plm_max_position(cfg: Config) -> int:
+    from .models.bert import bert_variant
+    return bert_variant(cfg.bert).max_position
+
+
+def flax_unfreeze_params(params):
+    from .models.bert import flax_unfreeze
+    return flax_unfreeze(params)
+
+
 def build_train_loader(cfg: Config, data: DataBundle,
                        num_shards: int = 1, shard_index: int = 0,
                        emit_tokens: Optional[bool] = None) -> TrainLoader:

@@ -107,7 +107,7 @@ _VARIANTS = {
     "longformer": BertVariantConfig(attention_type="local", window=32,
                                     max_position=1026, pad_token_id=1,
                                     cls_token_id=0, sep_token_id=2,
-                                    max_length=1024,
+                                    type_vocab_size=1, max_length=1024,
                                     max_length_per_history=21),
     # bigbird: sliding window of 3 blocks + global first block + per-head
     # STATIC random blocks (BigBird paper / reference models/PLM.py:66-78
@@ -650,8 +650,19 @@ def _hf_putter(hf_state_dict, params, prefix: str):
             val = val.T
         node = p["params"]
         for part in tree_path[:-1]:
+            # tolerate absent paths (strict=False semantics, reference
+            # models/PLM.py:48): e.g. the synthesizer variant has no
+            # query/key projections for BERT weights to land in
+            if part not in node:
+                return
             node = node[part]
-        node[tree_path[-1]] = jnp.asarray(val)
+        if tree_path[-1] in node:
+            # keep random init on dimension mismatch (e.g. a checkpoint
+            # saved at different widths) rather than planting a
+            # wrong-shaped leaf that breaks apply() later
+            if tuple(node[tree_path[-1]].shape) != tuple(val.shape):
+                return
+            node[tree_path[-1]] = jnp.asarray(val)
 
     return p, put
 
@@ -730,6 +741,93 @@ def load_hf_deberta_weights(params, hf_state_dict, num_layers: int,
         put([fx, "attention", "pos_q_proj", "bias"],
             hf + "attention.self.pos_q_proj.bias")
         _put_common_layer(put, hf, fx)
+    return p
+
+
+def load_hf_distilbert_weights(params, hf_state_dict, num_layers: int,
+                               prefix: str = ""):
+    """Map a HuggingFace DistilBertModel state_dict onto BertModel params
+    (distill variant: 6 layers, no token types, gelu_cls pooler).
+
+    DistilBERT's encoder is a plain post-LN transformer with renamed
+    modules (q_lin/k_lin/v_lin/out_lin, sa_layer_norm, ffn.lin1/lin2,
+    output_layer_norm) — reference models/PLM.py:49-57 loads it via
+    AutoModel. The reference's added pooler has no pretrained weights
+    either, so our gelu_cls pooler keeps its random init."""
+    p, put = _hf_putter(hf_state_dict, params, prefix)
+    put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
+    put(["position_embeddings"], "embeddings.position_embeddings.weight")
+    put(["embed_norm", "scale"], "embeddings.LayerNorm.weight")
+    put(["embed_norm", "bias"], "embeddings.LayerNorm.bias")
+    for i in range(num_layers):
+        hf = f"transformer.layer.{i}."
+        fx = f"layer_{i}"
+        for ours, theirs in [("query", "attention.q_lin"),
+                             ("key", "attention.k_lin"),
+                             ("value", "attention.v_lin")]:
+            put([fx, "attention", ours, "kernel"], hf + theirs + ".weight",
+                transpose=True)
+            put([fx, "attention", ours, "bias"], hf + theirs + ".bias")
+        put([fx, "attn_out", "kernel"], hf + "attention.out_lin.weight",
+            transpose=True)
+        put([fx, "attn_out", "bias"], hf + "attention.out_lin.bias")
+        put([fx, "attn_norm", "scale"], hf + "sa_layer_norm.weight")
+        put([fx, "attn_norm", "bias"], hf + "sa_layer_norm.bias")
+        put([fx, "ffn_in", "kernel"], hf + "ffn.lin1.weight", transpose=True)
+        put([fx, "ffn_in", "bias"], hf + "ffn.lin1.bias")
+        put([fx, "ffn_out", "kernel"], hf + "ffn.lin2.weight", transpose=True)
+        put([fx, "ffn_out", "bias"], hf + "ffn.lin2.bias")
+        put([fx, "ffn_norm", "scale"], hf + "output_layer_norm.weight")
+        put([fx, "ffn_norm", "bias"], hf + "output_layer_norm.bias")
+    return p
+
+
+def load_hf_longformer_weights(params, hf_state_dict, num_layers: int,
+                               prefix: str = ""):
+    """Map a HuggingFace LongformerModel state_dict onto BertModel params
+    (longformer variant: local+global banded attention).
+
+    RoBERTa-lineage position ids start at padding_idx+1 = 2, so HF
+    position row i+2 is our position i — the table is shifted by two rows
+    on import. The layer projections map like BERT; HF's separate
+    ``*_global`` q/k/v (used only to recompute the global tokens' rows,
+    and initialised from the local projections at conversion time —
+    reference models/PLM.py:66-78 loads allenai/longformer-base-4096) have
+    no counterpart in our single-projection banded design and are
+    intentionally not mapped."""
+    import numpy as np
+
+    p, put = _hf_putter(hf_state_dict, params, prefix)
+    put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
+    key = prefix + "embeddings.position_embeddings.weight"
+    if key in hf_state_dict:
+        pos = np.asarray(hf_state_dict[key])
+        ours = np.asarray(p["params"]["position_embeddings"])
+        n = min(ours.shape[0], pos.shape[0] - 2)
+        ours = ours.copy()
+        ours[:n] = pos[2:2 + n]
+        p["params"]["position_embeddings"] = jnp.asarray(ours)
+    key = prefix + "embeddings.token_type_embeddings.weight"
+    if key in hf_state_dict:
+        tt = np.asarray(hf_state_dict[key])
+        ours = np.asarray(p["params"]["token_type_embeddings"]).copy()
+        n = min(ours.shape[0], tt.shape[0])
+        ours[:n] = tt[:n]
+        p["params"]["token_type_embeddings"] = jnp.asarray(ours)
+    put(["embed_norm", "scale"], "embeddings.LayerNorm.weight")
+    put(["embed_norm", "bias"], "embeddings.LayerNorm.bias")
+    for i in range(num_layers):
+        hf = f"encoder.layer.{i}."
+        fx = f"layer_{i}"
+        for ours_n, theirs in [("query", "attention.self.query"),
+                               ("key", "attention.self.key"),
+                               ("value", "attention.self.value")]:
+            put([fx, "attention", ours_n, "kernel"], hf + theirs + ".weight",
+                transpose=True)
+            put([fx, "attention", ours_n, "bias"], hf + theirs + ".bias")
+        _put_common_layer(put, hf, fx)
+    put(["pooler", "kernel"], "pooler.dense.weight", transpose=True)
+    put(["pooler", "bias"], "pooler.dense.bias")
     return p
 
 

@@ -68,6 +68,11 @@ class Trainer:
         sample_batch = ensure_tokens(sample_batch, train_loader)
         params = model.init(jax.random.PRNGKey(cfg.seed),
                             {k: v for k, v in sample_batch.items()})
+        if cfg.model in ("plm", "xformer"):
+            # pretrained init from a locally cached HF checkpoint, the
+            # reference's AutoModel.from_pretrained path (models/PLM.py)
+            from ..experiment import maybe_load_hf_weights
+            params, _ = maybe_load_hf_weights(cfg, params)
         self.state = create_train_state(params, self.optimizer)
         if cfg.checkpoint:
             # -1 = newest checkpoint (the preemption-resume path)

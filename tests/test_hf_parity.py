@@ -222,3 +222,217 @@ def test_loader_maps_every_encoder_weight():
             v.T.shape == l.shape and np.allclose(v.T, l, atol=1e-6)
             for l in leaves.values())
         assert found, f"HF tensor {k} not mapped into BertModel params"
+
+
+def test_distilbert_matches_transformers():
+    """distill variant == transformers.DistilBertModel numerically: the
+    renamed post-LN stack (q/k/v/out_lin, sa_layer_norm, ffn.lin1/lin2,
+    output_layer_norm) maps through load_hf_distilbert_weights
+    (reference models/PLM.py:49-57 loads distilbert via AutoModel)."""
+    hf_cfg = transformers.DistilBertConfig(
+        vocab_size=V, dim=HID, n_layers=L, n_heads=HEADS,
+        hidden_dim=INTER, max_position_embeddings=40,
+        dropout=0.0, attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = transformers.DistilBertModel(hf_cfg).eval()
+
+    from news_recommendation_mind_tpu.models.bert import (
+        load_hf_distilbert_weights,
+    )
+    variant = bert_variant("distill", vocab_size=V).replace(
+        hidden_size=HID, num_layers=L, num_heads=HEADS,
+        intermediate_size=INTER, max_position=40,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    model = BertModel(variant)
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, V, (B, S)).astype(np.int32)
+    attn = np.ones((B, S), np.float32)
+    attn[0, -3:] = 0.0
+
+    params = model.init(jax.random.PRNGKey(0), tokens, attn,
+                        deterministic=True)
+    params = load_hf_distilbert_weights(params, hf.state_dict(),
+                                        num_layers=L)
+    hidden, _ = model.apply(params, tokens, attn, deterministic=True)
+
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(tokens.astype(np.int64)),
+                 attention_mask=torch.tensor(attn))
+    np.testing.assert_allclose(np.asarray(hidden, np.float32),
+                               out.last_hidden_state.numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_distilbert_loader_maps_every_weight():
+    hf_cfg = transformers.DistilBertConfig(
+        vocab_size=V, dim=HID, n_layers=L, n_heads=HEADS,
+        hidden_dim=INTER, max_position_embeddings=40)
+    torch.manual_seed(1)
+    hf = transformers.DistilBertModel(hf_cfg).eval()
+    from news_recommendation_mind_tpu.models.bert import (
+        load_hf_distilbert_weights,
+    )
+    variant = bert_variant("distill", vocab_size=V).replace(
+        hidden_size=HID, num_layers=L, num_heads=HEADS,
+        intermediate_size=INTER, max_position=40)
+    model = BertModel(variant)
+    tokens = np.zeros((1, S), np.int32)
+    attn = np.ones((1, S), np.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, attn,
+                        deterministic=True)
+    loaded = load_hf_distilbert_weights(params, hf.state_dict(),
+                                        num_layers=L)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()
+          if "position_ids" not in k}
+    leaves = [np.asarray(leaf) for _, leaf in
+              jax.tree_util.tree_flatten_with_path(loaded)[0]]
+    for k, v in sd.items():
+        found = any(
+            v.shape == l.shape and np.allclose(v, l, atol=1e-6) or
+            v.T.shape == l.shape and np.allclose(v.T, l, atol=1e-6)
+            for l in leaves)
+        assert found, f"HF tensor {k} not mapped into distill params"
+
+
+def _longformer_pair(seed, window_one_sided, s_len):
+    """(HF LongformerModel with global projections tied to local, matching
+    our BertModel + loaded params). Tying is sound: at conversion time HF
+    longformer checkpoints initialise *_global from the local projections
+    (reference models/PLM.py:66-78 relies on the same checkpoints)."""
+    from news_recommendation_mind_tpu.models.bert import (
+        load_hf_longformer_weights,
+    )
+    hf_cfg = transformers.LongformerConfig(
+        vocab_size=V, hidden_size=HID, num_hidden_layers=L,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=s_len + 2, type_vocab_size=1,
+        attention_window=2 * window_one_sided, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(seed)
+    hf = transformers.LongformerModel(hf_cfg).eval()
+    with torch.no_grad():
+        for layer in hf.encoder.layer:
+            a = layer.attention.self
+            a.query_global.weight.copy_(a.query.weight)
+            a.query_global.bias.copy_(a.query.bias)
+            a.key_global.weight.copy_(a.key.weight)
+            a.key_global.bias.copy_(a.key.bias)
+            a.value_global.weight.copy_(a.value.weight)
+            a.value_global.bias.copy_(a.value.bias)
+
+    variant = bert_variant("longformer", vocab_size=V).replace(
+        hidden_size=HID, num_layers=L, num_heads=HEADS,
+        intermediate_size=INTER, max_position=s_len,
+        window=window_one_sided,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    model = BertModel(variant)
+    tokens = np.zeros((1, s_len), np.int32)
+    attn = np.ones((1, s_len), np.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, attn,
+                        deterministic=True)
+    params = load_hf_longformer_weights(params, hf.state_dict(),
+                                        num_layers=L)
+    return hf, model, params
+
+
+def test_longformer_matches_transformers():
+    """local+global banded attention == transformers.LongformerModel on
+    the sliding-window + first-token-global pattern: HF position rows
+    shift by 2 (RoBERTa lineage), global projections tied to local, and
+    every token's output (including the global CLS) must agree on valid
+    positions."""
+    S_LONG, W1 = 96, 16
+    hf, model, params = _longformer_pair(0, W1, S_LONG)
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(2, V, (B, S_LONG)).astype(np.int32)
+    attn = np.ones((B, S_LONG), np.float32)
+    tokens[0, -37:] = 1  # trailing pads must be pad_token_id=1 (HF
+    attn[0, -37:] = 0.0  # derives position ids from input_ids != pad)
+
+    hidden, _ = model.apply(params, tokens, attn, deterministic=True)
+
+    glob = np.zeros((B, S_LONG), np.int64)
+    glob[:, 0] = 1
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(tokens.astype(np.int64)),
+                 attention_mask=torch.tensor(attn.astype(np.int64)),
+                 global_attention_mask=torch.tensor(glob))
+    ours = np.asarray(hidden, np.float32)
+    theirs = out.last_hidden_state.numpy()
+    valid = attn > 0
+    np.testing.assert_allclose(ours[valid], theirs[valid],
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_longformer_loader_maps_every_local_weight():
+    """Every non-``*_global`` Longformer tensor must land in our params
+    (the global projections are intentionally unmapped — they are local
+    copies at conversion time; see load_hf_longformer_weights)."""
+    S_LONG, W1 = 64, 16
+    hf, model, params = _longformer_pair(1, W1, S_LONG)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()
+          if "position_ids" not in k and "_global" not in k
+          and "position_embeddings" not in k}
+    leaves = [np.asarray(leaf) for _, leaf in
+              jax.tree_util.tree_flatten_with_path(params)[0]]
+    for k, v in sd.items():
+        found = any(
+            v.shape == l.shape and np.allclose(v, l, atol=1e-6) or
+            v.T.shape == l.shape and np.allclose(v.T, l, atol=1e-6)
+            for l in leaves)
+        assert found, f"HF tensor {k} not mapped into longformer params"
+    # the position table maps with the +2 RoBERTa shift
+    pos = hf.state_dict()["embeddings.position_embeddings.weight"].numpy()
+    ours = np.asarray(params["params"]["position_embeddings"])
+    np.testing.assert_allclose(ours, pos[2:2 + ours.shape[0]], atol=1e-6)
+
+
+def test_maybe_load_hf_weights_end_to_end(tmp_path):
+    """A pytorch_model.bin dropped under {data_root}/hf/{variant}/ must
+    initialise the PLM's bert tower at Trainer-init time via
+    experiment.maybe_load_hf_weights (file-based stand-in for the
+    reference's AutoModel.from_pretrained, models/PLM.py:49-57)."""
+    hf_cfg = transformers.DistilBertConfig(
+        vocab_size=V, dim=HID, n_layers=L, n_heads=HEADS,
+        hidden_dim=4 * HID, max_position_embeddings=512)
+    torch.manual_seed(3)
+    hf = transformers.DistilBertModel(hf_cfg).eval()
+    ckpt_dir = tmp_path / "hf" / "distill"
+    ckpt_dir.mkdir(parents=True)
+    torch.save(hf.state_dict(), ckpt_dir / "pytorch_model.bin")
+
+    from news_recommendation_mind_tpu.config import Config
+    from news_recommendation_mind_tpu.experiment import (
+        build_model, maybe_load_hf_weights,
+    )
+    cfg = Config(model="plm", bert="distill", bert_dim=HID, head_num=HEADS,
+                 bert_layers=L, data_root=str(tmp_path))
+    model = build_model(cfg, vocab_size=V, user_num=7)
+    batch = {
+        "cdd_token": np.zeros((2, 2, 8), np.int32),
+        "cdd_attn": np.ones((2, 2, 8), np.float32),
+        "his_token": np.zeros((2, 3, 8), np.int32),
+        "his_attn": np.ones((2, 3, 8), np.float32),
+        "his_mask": np.ones((2, 3), np.float32),
+        "cdd_mask": np.ones((2, 2), np.float32),
+        "label": np.zeros(2, np.int32),
+        "user_id": np.zeros(2, np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)
+    loaded, ok = maybe_load_hf_weights(cfg, params)
+    assert ok
+    got = np.asarray(
+        loaded["params"]["bert"]["word_embeddings"]["embedding"])
+    want = hf.state_dict()["embeddings.word_embeddings.weight"].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # intermediate-size mismatch guard: the loader must have mapped a
+    # layer kernel too (transposed)
+    k = np.asarray(loaded["params"]["bert"]["layer_0"]["ffn_in"]["kernel"])
+    np.testing.assert_allclose(
+        k, hf.state_dict()["transformer.layer.0.ffn.lin1.weight"].numpy().T,
+        atol=1e-6)
+    # the loaded tree must still apply cleanly (shape-guarded puts)
+    scores = model.apply(loaded, batch, deterministic=True)
+    assert np.all(np.isfinite(np.asarray(scores, np.float32)))
