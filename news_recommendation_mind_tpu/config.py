@@ -94,6 +94,9 @@ class Config:
     steps_per_call: int = 1          # fuse K train steps per device call
     nan_recover: int = 0             # auto-restore from ckpt on NaN loss
                                      # up to N times (0 = fail fast)
+    grad_norm: bool = False          # report per-step global grad norm
+                                     # (costs a full gradient read ~1.5ms
+                                     # at flagship dims; diagnostics only)
     rng_impl: str = "auto"           # auto | threefry | rbg: dropout RNG.
                                      # auto = hardware RNG (rbg) on TPU,
                                      # threefry elsewhere

@@ -112,12 +112,13 @@ class Trainer:
             self.train_step = make_train_multistep(
                 model, self.optimizer, steps_per_call=cfg.steps_per_call,
                 mesh=self.mesh, donate=cfg.donate, remat=cfg.remat,
-                state_sharding=self.state_sharding, news_table=news_table)
+                state_sharding=self.state_sharding, news_table=news_table,
+                with_grad_norm=cfg.grad_norm)
         else:
             self.train_step = make_train_step(
                 model, self.optimizer, mesh=self.mesh, donate=cfg.donate,
                 remat=cfg.remat, state_sharding=self.state_sharding,
-                news_table=news_table)
+                news_table=news_table, with_grad_norm=cfg.grad_norm)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.best_auc = -1.0
         self.nan_recoveries = 0

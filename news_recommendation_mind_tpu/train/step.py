@@ -20,7 +20,8 @@ from ..models.two_tower import forward_from_unique, train_loss
 from .state import TrainState
 
 
-def _build_step_fn(model, optimizer, remat: bool, news_table):
+def _build_step_fn(model, optimizer, remat: bool, news_table,
+                   with_grad_norm: bool = False):
     """The un-jitted single-step body shared by the step builders."""
     derive_attn = False
     if news_table is not None:
@@ -95,8 +96,13 @@ def _build_step_fn(model, optimizer, remat: bool, news_table):
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
-        metrics = {"loss": loss.astype(jnp.float32),
-                   "grad_norm": optax.global_norm(grads).astype(jnp.float32)}
+        metrics = {"loss": loss.astype(jnp.float32)}
+        if with_grad_norm:
+            # a full extra read of every gradient leaf (~1.5ms/step at
+            # flagship dims); opt-in diagnostics — the reference logs no
+            # norms either (utils/Manager.py:634-651)
+            metrics["grad_norm"] = optax.global_norm(grads).astype(
+                jnp.float32)
         return new_state, metrics
 
     return step_fn
@@ -107,7 +113,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation, *,
                     donate: bool = True,
                     state_sharding=None,
                     remat: bool = False,
-                    news_table=None) -> Callable:
+                    news_table=None,
+                    with_grad_norm: bool = False) -> Callable:
     """Build the jitted train step: (state, batch, rng) → (state, metrics).
 
     state_sharding: optional pytree of NamedShardings matching the
@@ -121,7 +128,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation, *,
     remote/multi-host setups this cuts host→device traffic ~60x (ids are
     ~1KB/sample vs ~40KB of gathered tokens).
     """
-    step_fn = _build_step_fn(model, optimizer, remat, news_table)
+    step_fn = _build_step_fn(model, optimizer, remat, news_table,
+                             with_grad_norm)
 
     kw = {}
     if donate:
@@ -141,7 +149,8 @@ def make_train_multistep(model, optimizer: optax.GradientTransformation, *,
                          donate: bool = True,
                          state_sharding=None,
                          remat: bool = False,
-                         news_table=None) -> Callable:
+                         news_table=None,
+                         with_grad_norm: bool = False) -> Callable:
     """K train steps in ONE jitted call via lax.scan over a superbatch.
 
     Batches arrive stacked on a leading [K, ...] axis; the device loops
@@ -150,7 +159,8 @@ def make_train_multistep(model, optimizer: optax.GradientTransformation, *,
     gather (news_table) to keep the superbatch at ids-only size. Returns
     (state, metrics-of-last-step).
     """
-    single = _build_step_fn(model, optimizer, remat, news_table)
+    single = _build_step_fn(model, optimizer, remat, news_table,
+                            with_grad_norm)
 
     def multi_fn(state: TrainState, batches: Dict[str, jnp.ndarray],
                  rng: jax.Array):
@@ -159,8 +169,7 @@ def make_train_multistep(model, optimizer: optax.GradientTransformation, *,
             st, metrics = single(st, batch, rng)
             return (st, metrics), None
 
-        init_metrics = {"loss": jnp.zeros((), jnp.float32),
-                        "grad_norm": jnp.zeros((), jnp.float32)}
+        init_metrics = {"loss": jnp.zeros((), jnp.float32)}
         (state, metrics), _ = jax.lax.scan(body, (state, init_metrics),
                                            batches)
         return state, metrics

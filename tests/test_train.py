@@ -273,3 +273,25 @@ def test_trainer_preemption_checkpoints_and_resumes(setup):
     assert int(t2.state.step) == stopped_at
     t2.train()
     assert int(t2.state.step) == stopped_at + 5
+
+
+def test_grad_norm_metric_is_opt_in(setup):
+    """Per-step grad-norm costs a full gradient read; it must appear only
+    with with_grad_norm=True (the reference logs no norms either)."""
+    tmp, cfg, data, model = setup
+    loader = build_train_loader(cfg, data)
+    batch = next(iter(loader))
+    params = model.init(jax.random.PRNGKey(0), batch)
+    opt = make_optimizer(cfg.lr, cfg.bert_lr)
+    mesh = make_mesh()
+    rng = jax.random.PRNGKey(0)
+
+    state = create_train_state(params, opt)
+    _, m = make_train_step(model, opt, mesh=mesh, donate=False)(
+        state, batch, rng)
+    assert "grad_norm" not in m
+
+    state = create_train_state(params, opt)
+    _, m = make_train_step(model, opt, mesh=mesh, donate=False,
+                           with_grad_norm=True)(state, batch, rng)
+    assert float(m["grad_norm"]) > 0.0
