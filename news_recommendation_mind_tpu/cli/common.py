@@ -45,8 +45,9 @@ def _restored_state(cfg: Config, model, sample_batch):
 
 def run(cfg: Config, model_builder=build_model) -> dict:
     """Dispatch one experiment according to cfg.mode; returns metrics."""
-    from ..config import apply_rng_impl
+    from ..config import apply_compile_cache, apply_rng_impl
     apply_rng_impl(cfg)
+    apply_compile_cache(cfg)
     if cfg.anomaly:
         # the reference's --anomaly (torch autograd anomaly mode,
         # utils/Manager.py:710-712): fail fast on the op producing NaNs

@@ -97,6 +97,9 @@ class Config:
     grad_norm: bool = False          # report per-step global grad norm
                                      # (costs a full gradient read ~1.5ms
                                      # at flagship dims; diagnostics only)
+    compile_cache: bool = True       # persistent XLA compile cache under
+                                     # {cache_root}/jax_compile (repeat
+                                     # runs skip 30-70s tunnel compiles)
     rng_impl: str = "auto"           # auto | threefry | rbg: dropout RNG.
                                      # auto = hardware RNG (rbg) on TPU,
                                      # threefry elsewhere
@@ -247,3 +250,23 @@ def apply_rng_impl(cfg: Config) -> None:
     elif impl == "threefry":
         impl = "threefry2x32"
     jax.config.update("jax_default_prng_impl", impl)
+
+
+def apply_compile_cache(cfg: Config) -> None:
+    """Enable JAX's persistent compilation cache under the cache root.
+
+    On remote-compile backends (this machine's tunneled v5e) a flagship
+    train-step compile costs 30-70s; the persistent cache makes repeat
+    runs of the same configuration skip it entirely. Serialization was
+    verified working on the axon backend. Opt out with
+    --no-compile-cache (e.g. when benchmarking cold-compile latency)."""
+    if not cfg.compile_cache:
+        return
+    import os
+
+    import jax
+
+    path = os.path.join(cfg.cache_root, "jax_compile")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -50,9 +50,10 @@ class Trainer:
     def __init__(self, cfg: Config, model, train_loader,
                  news_loader=None, eval_loader=None,
                  mesh=None, sample_batch=None):
-        from ..config import apply_rng_impl
+        from ..config import apply_compile_cache, apply_rng_impl
         from ..parallel.mesh import mesh_from_config
         apply_rng_impl(cfg)  # before any PRNGKey exists (hardware RNG on
+        apply_compile_cache(cfg)
         self.cfg = cfg       # TPU: dropout-mask remat is ~free, config.py)
         self.model = model
         self.train_loader = train_loader

@@ -86,3 +86,22 @@ def test_flag_spelling_forms():
     assert c.signal_length == 12 and c.his_size == 7
     c2 = parse_config(["--device_gather", "--no-fused_embedding"])
     assert c2.device_gather is True and c2.fused_embedding is False
+
+
+def test_apply_compile_cache_sets_jax_config(tmp_path):
+    import jax
+
+    from news_recommendation_mind_tpu.config import (
+        Config, apply_compile_cache,
+    )
+    cfg = Config(cache_root=str(tmp_path / "c"))
+    apply_compile_cache(cfg)
+    assert jax.config.jax_compilation_cache_dir == str(
+        tmp_path / "c" / "jax_compile")
+    import os
+    assert os.path.isdir(jax.config.jax_compilation_cache_dir)
+    # opt-out leaves the previous setting untouched
+    before = jax.config.jax_compilation_cache_dir
+    apply_compile_cache(Config(cache_root=str(tmp_path / "d"),
+                               compile_cache=False))
+    assert jax.config.jax_compilation_cache_dir == before
