@@ -60,7 +60,19 @@ def _wait_for_devices(retries: int = 6, delay_s: float = 20.0):
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compile cache (config.apply_compile_cache equivalent):
+    # the remote-compile tunnel charges minutes for a cold compile; warm
+    # reruns of this same program skip it (measured 327.6s -> 58.3s on a
+    # toy chain, BASELINE.md round 2)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "cache", "jax_compile")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     _wait_for_devices()
 
