@@ -290,21 +290,30 @@ def maybe_load_hf_weights(cfg: Config, params, verbose: bool = True):
             sd = dict(sd)
             sd[key] = np.asarray(sd[key])[: _plm_max_position(cfg)]
     tree = flax_unfreeze_params(params)
-    loaded_any = False
+    n_placed = 0
     for tower in ("bert", "news_bert"):
         if tower in tree["params"]:
             n_layers = sum(1 for k in tree["params"][tower]
                            if k.startswith("layer_"))
-            sub = loader({"params": tree["params"][tower]}, sd,
-                         num_layers=n_layers, prefix=prefix)
+            sub, placed = loader({"params": tree["params"][tower]}, sd,
+                                 num_layers=n_layers, prefix=prefix)
             tree["params"][tower] = sub["params"]
-            loaded_any = True
-    if loaded_any and verbose:
-        import logging
-        logging.getLogger("news_recommendation_mind_tpu").info(
-            "initialised %s tower(s) from local HF checkpoint %s",
-            cfg.bert, path)
-    return tree, loaded_any
+            n_placed += placed
+    import logging
+    log = logging.getLogger("news_recommendation_mind_tpu")
+    if n_placed == 0:
+        # every tensor was skipped by the shape guard (e.g. checkpoint
+        # width != cfg.bert_dim) — training would silently proceed from
+        # random init while claiming pretrained init; report honestly
+        log.warning(
+            "HF checkpoint %s matched 0 tensors for %s (shape/path "
+            "mismatch); keeping random init", path, cfg.bert)
+        return params, False
+    if verbose:
+        log.info(
+            "initialised %s tower(s) from local HF checkpoint %s "
+            "(%d tensors placed)", cfg.bert, path, n_placed)
+    return tree, True
 
 
 def _plm_max_position(cfg: Config) -> int:

@@ -636,11 +636,16 @@ class BertModel(nn.Module):
 
 
 def _hf_putter(hf_state_dict, params, prefix: str):
-    """(state_dict, flax params) → (mutable tree, put) for weight mapping."""
+    """(state_dict, flax params) → (mutable tree, put, placed-counter).
+
+    ``placed`` is a one-element list counting tensors actually planted, so
+    callers can distinguish a real import from one where every tensor was
+    silently skipped by the shape guard (e.g. width-mismatched checkpoint)."""
     import numpy as np
 
     sd = {k: np.asarray(v) for k, v in hf_state_dict.items()}
     p = flax_unfreeze(params)
+    placed = [0]
 
     def put(tree_path, key, transpose=False):
         if prefix + key not in sd:
@@ -663,8 +668,9 @@ def _hf_putter(hf_state_dict, params, prefix: str):
             if tuple(node[tree_path[-1]].shape) != tuple(val.shape):
                 return
             node[tree_path[-1]] = jnp.asarray(val)
+            placed[0] += 1
 
-    return p, put
+    return p, put, placed
 
 
 def _put_common_layer(put, hf: str, fx: str) -> None:
@@ -695,7 +701,7 @@ def load_hf_bert_weights(params, hf_state_dict, num_layers: int,
     """
     import numpy as np
 
-    p, put = _hf_putter(hf_state_dict, params, prefix)
+    p, put, placed = _hf_putter(hf_state_dict, params, prefix)
     put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
     put(["position_embeddings"], "embeddings.position_embeddings.weight")
     put(["token_type_embeddings"], "embeddings.token_type_embeddings.weight")
@@ -713,7 +719,7 @@ def load_hf_bert_weights(params, hf_state_dict, num_layers: int,
         _put_common_layer(put, hf, fx)
     put(["pooler", "kernel"], "pooler.dense.weight", transpose=True)
     put(["pooler", "bias"], "pooler.dense.bias")
-    return p
+    return p, placed[0]
 
 
 def load_hf_deberta_weights(params, hf_state_dict, num_layers: int,
@@ -722,7 +728,7 @@ def load_hf_deberta_weights(params, hf_state_dict, num_layers: int,
     (deberta variant). HF's fused ``in_proj`` output layout (per-head
     [q|k|v] blocks) matches _DisentangledSelfAttention's reshape, so the
     kernel maps by plain transpose."""
-    p, put = _hf_putter(hf_state_dict, params, prefix)
+    p, put, placed = _hf_putter(hf_state_dict, params, prefix)
     put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
     put(["embed_norm", "scale"], "embeddings.LayerNorm.weight")
     put(["embed_norm", "bias"], "embeddings.LayerNorm.bias")
@@ -741,7 +747,7 @@ def load_hf_deberta_weights(params, hf_state_dict, num_layers: int,
         put([fx, "attention", "pos_q_proj", "bias"],
             hf + "attention.self.pos_q_proj.bias")
         _put_common_layer(put, hf, fx)
-    return p
+    return p, placed[0]
 
 
 def load_hf_distilbert_weights(params, hf_state_dict, num_layers: int,
@@ -754,7 +760,7 @@ def load_hf_distilbert_weights(params, hf_state_dict, num_layers: int,
     output_layer_norm) — reference models/PLM.py:49-57 loads it via
     AutoModel. The reference's added pooler has no pretrained weights
     either, so our gelu_cls pooler keeps its random init."""
-    p, put = _hf_putter(hf_state_dict, params, prefix)
+    p, put, placed = _hf_putter(hf_state_dict, params, prefix)
     put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
     put(["position_embeddings"], "embeddings.position_embeddings.weight")
     put(["embed_norm", "scale"], "embeddings.LayerNorm.weight")
@@ -779,7 +785,7 @@ def load_hf_distilbert_weights(params, hf_state_dict, num_layers: int,
         put([fx, "ffn_out", "bias"], hf + "ffn.lin2.bias")
         put([fx, "ffn_norm", "scale"], hf + "output_layer_norm.weight")
         put([fx, "ffn_norm", "bias"], hf + "output_layer_norm.bias")
-    return p
+    return p, placed[0]
 
 
 def load_hf_longformer_weights(params, hf_state_dict, num_layers: int,
@@ -797,23 +803,30 @@ def load_hf_longformer_weights(params, hf_state_dict, num_layers: int,
     intentionally not mapped."""
     import numpy as np
 
-    p, put = _hf_putter(hf_state_dict, params, prefix)
+    p, put, placed = _hf_putter(hf_state_dict, params, prefix)
     put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
     key = prefix + "embeddings.position_embeddings.weight"
     if key in hf_state_dict:
         pos = np.asarray(hf_state_dict[key])
         ours = np.asarray(p["params"]["position_embeddings"])
-        n = min(ours.shape[0], pos.shape[0] - 2)
-        ours = ours.copy()
-        ours[:n] = pos[2:2 + n]
-        p["params"]["position_embeddings"] = jnp.asarray(ours)
+        # hand-rolled shifted copy: keep put()'s strict=False semantics by
+        # skipping (not crashing) on a width-mismatched checkpoint
+        if pos.ndim == 2 and pos.shape[1] == ours.shape[1]:
+            n = min(ours.shape[0], pos.shape[0] - 2)
+            ours = ours.copy()
+            ours[:n] = pos[2:2 + n]
+            p["params"]["position_embeddings"] = jnp.asarray(ours)
+            placed[0] += 1
     key = prefix + "embeddings.token_type_embeddings.weight"
     if key in hf_state_dict:
         tt = np.asarray(hf_state_dict[key])
-        ours = np.asarray(p["params"]["token_type_embeddings"]).copy()
-        n = min(ours.shape[0], tt.shape[0])
-        ours[:n] = tt[:n]
-        p["params"]["token_type_embeddings"] = jnp.asarray(ours)
+        ours = np.asarray(p["params"]["token_type_embeddings"])
+        if tt.ndim == 2 and tt.shape[1] == ours.shape[1]:
+            ours = ours.copy()
+            n = min(ours.shape[0], tt.shape[0])
+            ours[:n] = tt[:n]
+            p["params"]["token_type_embeddings"] = jnp.asarray(ours)
+            placed[0] += 1
     put(["embed_norm", "scale"], "embeddings.LayerNorm.weight")
     put(["embed_norm", "bias"], "embeddings.LayerNorm.bias")
     for i in range(num_layers):
@@ -828,7 +841,7 @@ def load_hf_longformer_weights(params, hf_state_dict, num_layers: int,
         _put_common_layer(put, hf, fx)
     put(["pooler", "kernel"], "pooler.dense.weight", transpose=True)
     put(["pooler", "bias"], "pooler.dense.bias")
-    return p
+    return p, placed[0]
 
 
 def flax_unfreeze(params):

@@ -170,6 +170,10 @@ def make_train_multistep(model, optimizer: optax.GradientTransformation, *,
             return (st, metrics), None
 
         init_metrics = {"loss": jnp.zeros((), jnp.float32)}
+        if with_grad_norm:
+            # carry structure must match the body's metrics dict exactly
+            # or lax.scan rejects the trace
+            init_metrics["grad_norm"] = jnp.zeros((), jnp.float32)
         (state, metrics), _ = jax.lax.scan(body, (state, init_metrics),
                                            batches)
         return state, metrics

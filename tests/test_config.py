@@ -94,14 +94,24 @@ def test_apply_compile_cache_sets_jax_config(tmp_path):
     from news_recommendation_mind_tpu.config import (
         Config, apply_compile_cache,
     )
-    cfg = Config(cache_root=str(tmp_path / "c"))
-    apply_compile_cache(cfg)
-    assert jax.config.jax_compilation_cache_dir == str(
-        tmp_path / "c" / "jax_compile")
-    import os
-    assert os.path.isdir(jax.config.jax_compilation_cache_dir)
-    # opt-out leaves the previous setting untouched
-    before = jax.config.jax_compilation_cache_dir
-    apply_compile_cache(Config(cache_root=str(tmp_path / "d"),
-                               compile_cache=False))
-    assert jax.config.jax_compilation_cache_dir == before
+    # restore afterwards: leaving the cache dir pointing at a deleted
+    # pytest tmp_path would make later slow compiles in this session try
+    # to write into a vanished directory (advisor round-2 low)
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        cfg = Config(cache_root=str(tmp_path / "c"))
+        apply_compile_cache(cfg)
+        assert jax.config.jax_compilation_cache_dir == str(
+            tmp_path / "c" / "jax_compile")
+        import os
+        assert os.path.isdir(jax.config.jax_compilation_cache_dir)
+        # opt-out leaves the previous setting untouched
+        before = jax.config.jax_compilation_cache_dir
+        apply_compile_cache(Config(cache_root=str(tmp_path / "d"),
+                                   compile_cache=False))
+        assert jax.config.jax_compilation_cache_dir == before
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)

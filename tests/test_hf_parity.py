@@ -45,7 +45,7 @@ def test_bert_matches_transformers():
 
     params = model.init(jax.random.PRNGKey(0), tokens, attn,
                         deterministic=True)
-    params = load_hf_bert_weights(params, hf.state_dict(), num_layers=L)
+    params, _ = load_hf_bert_weights(params, hf.state_dict(), num_layers=L)
 
     hidden, pooled = model.apply(params, tokens, attn, deterministic=True)
 
@@ -92,7 +92,7 @@ def test_deberta_matches_transformers():
 
     params = model.init(jax.random.PRNGKey(0), tokens, attn,
                         deterministic=True)
-    params = load_hf_deberta_weights(params, hf.state_dict(), num_layers=L)
+    params, _ = load_hf_deberta_weights(params, hf.state_dict(), num_layers=L)
 
     hidden, _ = model.apply(params, tokens, attn, deterministic=True)
 
@@ -135,7 +135,7 @@ def test_deberta_gradients_match_transformers():
     attn = np.ones((B, S), np.float32)
     params = model.init(jax.random.PRNGKey(0), tokens, attn,
                         deterministic=True)
-    params = load_hf_deberta_weights(params, hf.state_dict(), num_layers=L)
+    params, _ = load_hf_deberta_weights(params, hf.state_dict(), num_layers=L)
 
     def loss_fn(p):
         hidden, _ = model.apply(p, tokens, attn, deterministic=True)
@@ -176,7 +176,7 @@ def test_deberta_loader_maps_every_weight():
     attn = np.ones((1, S), np.float32)
     params = model.init(jax.random.PRNGKey(0), tokens, attn,
                         deterministic=True)
-    loaded = load_hf_deberta_weights(params, hf.state_dict(), num_layers=L)
+    loaded, _ = load_hf_deberta_weights(params, hf.state_dict(), num_layers=L)
 
     sd = {k: v.numpy() for k, v in hf.state_dict().items()
           if "position_ids" not in k}
@@ -207,7 +207,7 @@ def test_loader_maps_every_encoder_weight():
     attn = np.ones((1, S), np.float32)
     params = model.init(jax.random.PRNGKey(0), tokens, attn,
                         deterministic=True)
-    loaded = load_hf_bert_weights(params, hf.state_dict(), num_layers=L)
+    loaded, _ = load_hf_bert_weights(params, hf.state_dict(), num_layers=L)
 
     sd = {k: v.numpy() for k, v in hf.state_dict().items()
           if "position_ids" not in k}
@@ -252,7 +252,7 @@ def test_distilbert_matches_transformers():
 
     params = model.init(jax.random.PRNGKey(0), tokens, attn,
                         deterministic=True)
-    params = load_hf_distilbert_weights(params, hf.state_dict(),
+    params, _ = load_hf_distilbert_weights(params, hf.state_dict(),
                                         num_layers=L)
     hidden, _ = model.apply(params, tokens, attn, deterministic=True)
 
@@ -281,7 +281,7 @@ def test_distilbert_loader_maps_every_weight():
     attn = np.ones((1, S), np.float32)
     params = model.init(jax.random.PRNGKey(0), tokens, attn,
                         deterministic=True)
-    loaded = load_hf_distilbert_weights(params, hf.state_dict(),
+    loaded, _ = load_hf_distilbert_weights(params, hf.state_dict(),
                                         num_layers=L)
     sd = {k: v.numpy() for k, v in hf.state_dict().items()
           if "position_ids" not in k}
@@ -331,7 +331,7 @@ def _longformer_pair(seed, window_one_sided, s_len):
     attn = np.ones((1, s_len), np.float32)
     params = model.init(jax.random.PRNGKey(0), tokens, attn,
                         deterministic=True)
-    params = load_hf_longformer_weights(params, hf.state_dict(),
+    params, _ = load_hf_longformer_weights(params, hf.state_dict(),
                                         num_layers=L)
     return hf, model, params
 
@@ -436,3 +436,54 @@ def test_maybe_load_hf_weights_end_to_end(tmp_path):
     # the loaded tree must still apply cleanly (shape-guarded puts)
     scores = model.apply(loaded, batch, deterministic=True)
     assert np.all(np.isfinite(np.asarray(scores, np.float32)))
+
+
+def test_width_mismatched_checkpoint_places_zero_tensors():
+    """A checkpoint with a different hidden width must place 0 tensors
+    (strict=False shape guard) and report that count, so callers can
+    refuse to claim pretrained init (advisor round-2 low)."""
+    hf_cfg = transformers.BertConfig(
+        vocab_size=V, hidden_size=HID * 2, num_hidden_layers=L,
+        num_attention_heads=HEADS, intermediate_size=INTER * 2,
+        max_position_embeddings=40, type_vocab_size=2)
+    torch.manual_seed(0)
+    hf = transformers.BertModel(hf_cfg).eval()
+
+    variant = bert_variant("bert", vocab_size=V).replace(
+        hidden_size=HID, num_layers=L, num_heads=HEADS,
+        intermediate_size=INTER, max_position=40)
+    model = BertModel(variant)
+    tokens = np.zeros((1, S), np.int32)
+    attn = np.ones((1, S), np.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, attn,
+                        deterministic=True)
+    _, placed = load_hf_bert_weights(params, hf.state_dict(), num_layers=L)
+    assert placed == 0
+
+
+def test_longformer_width_mismatch_skips_hand_rolled_copies():
+    """The longformer loader's shifted position/token-type copies must
+    skip (not crash) on a width-mismatched checkpoint, matching put()'s
+    strict=False semantics (advisor round-2 low)."""
+    from news_recommendation_mind_tpu.models.bert import (
+        load_hf_longformer_weights,
+    )
+    hf_cfg = transformers.LongformerConfig(
+        vocab_size=V, hidden_size=HID * 2, num_hidden_layers=L,
+        num_attention_heads=HEADS, intermediate_size=INTER * 2,
+        max_position_embeddings=64, type_vocab_size=1,
+        attention_window=[8] * L, pad_token_id=1)
+    torch.manual_seed(0)
+    hf = transformers.LongformerModel(hf_cfg).eval()
+
+    variant = bert_variant("longformer", vocab_size=V).replace(
+        hidden_size=HID, num_layers=L, num_heads=HEADS,
+        intermediate_size=INTER, max_position=40, window=4)
+    model = BertModel(variant)
+    tokens = np.zeros((1, S), np.int32)
+    attn = np.ones((1, S), np.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, attn,
+                        deterministic=True)
+    _, placed = load_hf_longformer_weights(params, hf.state_dict(),
+                                           num_layers=L)
+    assert placed == 0

@@ -63,6 +63,24 @@ def test_multistep_equals_sequential_steps(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_multistep_grad_norm_metric(setup):
+    """--grad_norm with steps_per_call>1 must trace: the scan carry's
+    metrics dict has to match the body's (advisor round-2 medium)."""
+    cfg, data, model = setup
+    K = 2
+    loader = build_train_loader(cfg, data)
+    batches = [b for b, _ in zip(loader, range(K))]
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    params = model.init(jax.random.PRNGKey(0), batches[0])
+    opt = make_optimizer(cfg.lr, cfg.bert_lr)
+    state = create_train_state(params, opt)
+    multi = make_train_multistep(model, opt, steps_per_call=K,
+                                 donate=False, with_grad_norm=True)
+    state, m = multi(state, stacked, jax.random.PRNGKey(3))
+    assert int(state.step) == K
+    assert float(m["grad_norm"]) > 0.0
+
+
 @pytest.mark.slow
 def test_trainer_multistep_learns(setup):
     cfg, data, model = setup
