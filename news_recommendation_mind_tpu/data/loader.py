@@ -240,21 +240,36 @@ class NewsLoader:
 
     Emits {news_id [bs], token [bs,sl], attn [bs,sl], valid [bs]}; the last
     batch is padded with row 0 and masked via `valid`.
+
+    With num_shards > 1 each process sweeps only a contiguous row slice
+    (the reference encodes the table once on rank 0 and shares it by
+    file, utils/Manager.py:489-508; here every process encodes 1/P of
+    the corpus and evaluation.engine.encode_all_news allgathers the
+    slices — at MINDlarge-test scale this divides the 120k full-PLM
+    passes per process by the process count).
     """
 
     def __init__(self, news: NewsCache, *, batch_size: int,
-                 signal_length: int):
+                 signal_length: int,
+                 num_shards: int = 1, shard_index: int = 0):
         self.tokens, self.attn = news.truncated(signal_length)
         self.attn = self.attn.astype(np.float32)
         self.batch_size = batch_size
         self.n = self.tokens.shape[0]
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.rows_per_shard = math.ceil(self.n / num_shards)
+        self.shard_start = min(shard_index * self.rows_per_shard, self.n)
+        self.shard_stop = min(self.shard_start + self.rows_per_shard, self.n)
 
     def __len__(self) -> int:
-        return math.ceil(self.n / self.batch_size)
+        return math.ceil((self.shard_stop - self.shard_start)
+                         / self.batch_size)
 
     def __iter__(self) -> Iterator[Batch]:
-        for s in range(0, self.n, self.batch_size):
-            ids = np.arange(s, min(s + self.batch_size, self.n), dtype=np.int32)
+        for s in range(self.shard_start, self.shard_stop, self.batch_size):
+            ids = np.arange(s, min(s + self.batch_size, self.shard_stop),
+                            dtype=np.int32)
             pad = self.batch_size - len(ids)
             valid = np.concatenate([np.ones(len(ids), np.float32),
                                     np.zeros(pad, np.float32)])

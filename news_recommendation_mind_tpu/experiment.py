@@ -263,9 +263,12 @@ _HF_LOADERS = {
     "distill": ("load_hf_distilbert_weights", "distilbert."),
     "deberta": ("load_hf_deberta_weights", "deberta."),
     "longformer": ("load_hf_longformer_weights", "longformer."),
-    # funnel (pooling pyramid w/ relative attention) and reformer (axial
-    # positions, LSH-specific params) have no weight-compatible mapping —
-    # they train from init, documented in PARITY.md
+    # funnel: structural import — per-block content projections, norms,
+    # FFN and embeddings map; Transformer-XL relative/segment terms have
+    # no counterpart (documented per-weight in load_hf_funnel_weights)
+    "funnel": ("load_hf_funnel_weights", "funnel."),
+    # reformer has no weight-compatible mapping (shared-QK LSH projections
+    # and per-layer structure differ) — trains from init, PARITY.md #29
 }
 
 
@@ -348,9 +351,14 @@ def build_train_loader(cfg: Config, data: DataBundle,
 
 def build_eval_loaders(cfg: Config, data: DataBundle, split: str = "dev",
                        num_shards: int = 1, shard_index: int = 0):
+    # the phase-1 news sweep is sharded like the impression partition:
+    # each process encodes a contiguous 1/P of the corpus and the table
+    # is allgathered (evaluation/engine.py encode_all_news)
     news_loader = NewsLoader(data.news[split],
                              batch_size=cfg.batch_size_news,
-                             signal_length=cfg.signal_length)
+                             signal_length=cfg.signal_length,
+                             num_shards=num_shards,
+                             shard_index=shard_index)
     eval_loader = EvalLoader(
         data.news[split], data.behaviors[split],
         batch_size=max(cfg.batch_size, 8), his_size=cfg.his_size,

@@ -139,11 +139,21 @@ class Trainer:
                         save_table_path=self.cfg.news_repr_path("dev"))
 
     def _maybe_eval_and_save(self) -> None:
+        """Mid-train eval + best/periodic checkpoints.
+
+        evaluate() returns identical metrics on EVERY process (the
+        gathered result lists are global), so the best-AUC branch — and
+        with it save_checkpoint's gather collectives and barrier — runs
+        symmetrically on all processes (the reference's rank-0-gated
+        save around a barrier, utils/Manager.py:673-680). Only logging
+        is gated to process 0 (one ledger line per eval).
+        """
         step = int(self.state.step)
         metrics = self.evaluate_now()
         if metrics:
-            logger.info("step %d eval: %s", step, metrics)
-            log_result(self.cfg.name, self.cfg.scale, step, metrics)
+            if jax.process_index() == 0:
+                logger.info("step %d eval: %s", step, metrics)
+                log_result(self.cfg.name, self.cfg.scale, step, metrics)
             auc = metrics.get("auc", 0.0)
             if auc > self.best_auc:
                 self.best_auc = auc
@@ -275,7 +285,7 @@ class Trainer:
                 break
         wait_for_pending_saves()
         final = self.evaluate_now()
-        if final:
+        if final and jax.process_index() == 0:
             logger.info("final eval: %s (best auc %.4f)", final,
                         self.best_auc)
         return final

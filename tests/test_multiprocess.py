@@ -44,8 +44,25 @@ params = model.init(jax.random.PRNGKey(0),
                     ensure_tokens(next(iter(_l)), _l))
 news_loader, eval_loader = build_eval_loaders(
     cfg, data, "dev", num_shards=2, shard_index=pidx)
+# sharded phase-1 news sweep: each process encodes only its contiguous
+# half of the corpus, the table is allgathered, and it must equal the
+# unsharded sweep exactly (round-2 VERDICT next-round item 3)
+from news_recommendation_mind_tpu.data.loader import NewsLoader
+from news_recommendation_mind_tpu.evaluation.engine import encode_all_news
+assert news_loader.num_shards == 2
+full_loader = NewsLoader(data.news["dev"], batch_size=cfg.batch_size_news,
+                         signal_length=cfg.signal_length)
+local_rows = news_loader.shard_stop - news_loader.shard_start
+assert local_rows < full_loader.n, (local_rows, full_loader.n)
+t_sharded = encode_all_news(model, params, news_loader, cfg.hidden_dim)
+t_full = encode_all_news(model, params, full_loader, cfg.hidden_dim)
+assert np.array_equal(t_sharded, t_full), "sharded news sweep != full sweep"
+
 metrics = evaluate(model, params, eval_loader, ["auc", "mean_mrr"],
                    news_loader=news_loader, hidden_dim=cfg.hidden_dim)
+# symmetric metrics: every process must hold the same full metric dict
+# so conditioned-on-metrics code paths stay SPMD (round-2 VERDICT weak 2)
+assert metrics and "auc" in metrics, (pidx, metrics)
 
 # sharded TRAIN steps through the production path (device_gather +
 # dedup): multi-process loaders pin the unique-pool width to the cap so
@@ -93,6 +110,30 @@ for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state)),
     assert np.asarray(a).dtype == np.asarray(b).dtype
     assert np.array_equal(np.asarray(a), np.asarray(b)), "ckpt not bitwise"
 print("process", pidx, "checkpoint roundtrip ok")
+
+# the round-2 VERDICT weak-#2 deadlock scenario, end-to-end: a Trainer
+# whose mid-train eval finds a new best AUC must drive
+# _maybe_eval_and_save (train -> eval -> new-best -> best save + periodic
+# save) to completion on BOTH processes, with collectives matched. The
+# old code returned {} off process 0 from evaluate(), so only process 0
+# entered save_checkpoint(best=True) and its gather/barrier hung.
+from news_recommendation_mind_tpu.train import Trainer, load_checkpoint
+cfg2 = cfg.replace(ckpt_root=os.path.join(root, "ckpt_trainer"),
+                   epochs=1, device_gather=True, interval=1000)
+tl2 = build_train_loader(cfg2, data, num_shards=2, shard_index=pidx)
+nl2, el2 = build_eval_loaders(cfg2, data, "dev", num_shards=2,
+                              shard_index=pidx)
+trainer = Trainer(cfg2, model, tl2, nl2, el2)
+final = trainer.train()   # save_step=0 -> eval+save each epoch
+assert final and "auc" in final, (pidx, final)
+assert trainer.best_auc == final["auc"]
+best = load_checkpoint(cfg2.ckpt_dir(), cfg2.scale,
+                       jax.device_get(trainer.state), best=True)
+for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(trainer.state)),
+                jax.tree_util.tree_leaves(best)):
+    assert np.array_equal(np.asarray(a), np.asarray(b)), \
+        "best.ckpt != final state"
+print("process", pidx, "trainer best-save ok auc", final["auc"])
 print("process", pidx, "done", metrics)
 """
 
