@@ -97,15 +97,26 @@ def bm25_rank(news_tokens: np.ndarray, behaviors, top_k: int = 100,
         scores = np.asarray((M @ P).todense(), dtype=np.float64)
         scores = scores[:, :n_news]
         scores[:, 0] = 0.0  # the pad article never recalls
+        # float addition is not associative: the CSR matmul accumulates
+        # postings in a different order than the definitional per-token
+        # loop, so mathematically tied docs can differ by an ulp and flip
+        # the tie rule. Rounding far below BM25-score resolution (~1e-6
+        # even for a 1e5-doc corpus) and far above accumulated error
+        # (~1e-14) makes the ranking independent of summation order.
+        scores = np.round(scores, 9)
         k = min(top_k, n_news - 1)
         part = np.argpartition(-scores, k, axis=1)[:, :k + 1]
         for i in range(scores.shape[0]):
-            cand = part[i]
-            sc = scores[i, cand]
-            # order by score desc, doc id asc (deterministic ties),
-            # keep only genuinely retrieved docs
-            order = cand[np.lexsort((cand, -sc))]
-            order = order[scores[i, order] > 0]
+            # deterministic tie rule all the way to the cut: take EVERY
+            # doc at or above the (k+1)-th score (argpartition alone
+            # chooses arbitrarily among boundary-tied docs), then order
+            # by score desc, doc id asc, keep genuinely retrieved docs
+            thresh = scores[i, part[i]].min()
+            if thresh > 0:
+                cand = np.nonzero(scores[i] >= thresh)[0]
+            else:
+                cand = np.nonzero(scores[i] > 0)[0]
+            order = cand[np.lexsort((cand, -scores[i, cand]))]
             out.append(order[:top_k])
     return out
 

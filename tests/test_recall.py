@@ -200,3 +200,68 @@ def test_recall_mode_dense_and_hybrid(recall_cfg, rt):
     assert all(0.0 <= v <= 1.0 for v in result.values())
     assert (result["recall@20"] <= result["recall@50"]
             <= result["recall@100"])
+
+
+def test_bm25_rank_equals_scalar_formulation():
+    """CLAUDE.md exactness bar for the CSR-matmul vectorization of
+    bm25_rank: on a random ragged corpus, the two-sparse-matmul path must
+    equal a straightforward per-impression / per-distinct-token scalar
+    loop over the same inverted index, including the deterministic tie
+    rule (score desc, doc id asc) at every position — a small vocab
+    forces shared tokens and exact score ties (round-2 VERDICT weak 3)."""
+    from news_recommendation_mind_tpu.evaluation.recall import bm25_rank
+    from news_recommendation_mind_tpu.utils.bm25 import (
+        BM25Token, construct_inverted_index,
+    )
+    rng = np.random.default_rng(17)
+    n_news, vocab_small = 60, 25          # tiny vocab → many ties
+    # ragged corpus in the token-cache layout: row 0 = pad, position 0 =
+    # [CLS] (101), random lengths, zero-padded tails
+    S = 9
+    news_tokens = np.zeros((n_news + 1, S), np.int32)
+    for d in range(1, n_news + 1):
+        ln = rng.integers(1, S)
+        news_tokens[d, 0] = 101
+        news_tokens[d, 1:1 + ln] = rng.integers(3, vocab_small, ln)
+    n_impr = 40
+    his_l = [rng.integers(1, n_news + 1,
+                          rng.integers(1, 7)).astype(np.int32)
+             for _ in range(n_impr)]
+    offs = np.zeros(n_impr + 1, np.int64)
+    np.cumsum([len(x) for x in his_l], out=offs[1:])
+    b = Behaviors(mode="dev", impr_idx=np.arange(n_impr, dtype=np.int64),
+                  uindex=np.zeros(n_impr, np.int32),
+                  his_flat=np.concatenate(his_l), his_offsets=offs,
+                  cdd_flat=np.array([1], np.int32),
+                  cdd_offsets=np.array([0, 1]),
+                  labels_flat=np.array([1], np.int32))
+
+    for top_k in (3, 7, 100):             # below, at, and above corpus size
+        got = bm25_rank(news_tokens, b, top_k=top_k)
+
+        # straightforward formulation: same inverted index, scalar loops
+        toks = [row[row != 0] for row in news_tokens]
+        bm25 = BM25Token(toks)
+        vmax = int(news_tokens.max()) + 1
+        inv = construct_inverted_index(toks, bm25, vocab_size=vmax,
+                                       top_k=top_k)
+        for j in range(n_impr):
+            distinct = set()
+            for art in his_l[j]:
+                distinct.update(int(t) for t in news_tokens[art]
+                                if t != 0)
+            scores = np.zeros(n_news + 2, np.float64)  # + padding doc col
+            for t in sorted(distinct):
+                for doc, w in inv[t]:
+                    scores[int(doc)] += w
+            scores = scores[:n_news + 1]
+            scores[0] = 0.0
+            # same order-independence rounding as bm25_rank: the CSR
+            # matmul and this loop accumulate in different orders
+            scores = np.round(scores, 9)
+            ranked = sorted((d for d in range(n_news + 1)
+                             if scores[d] > 0),
+                            key=lambda d: (-scores[d], d))[:top_k]
+            np.testing.assert_array_equal(
+                np.asarray(got[j]), np.asarray(ranked, np.int64),
+                err_msg=f"impression {j} top_k {top_k}")
