@@ -20,7 +20,9 @@ configurable flax encoder covers the whole variant table:
   chunked same-bucket attention, unsort — reference models/PLM.py:66-78's
   google/reformer-crime-and-punishment),
 - Funnel pooling pyramid (pool_blocks: stride-2 CLS-preserving mean
-  pooling between layer blocks — reference models/PLM.py:30-35).
+  pooling between layer blocks, pool-query-only at each boundary layer —
+  pooled queries attend unpooled keys/values, Funnel-Transformer §2.2 —
+  reference models/PLM.py:30-35).
   All patterns are value-tested against dense-mask formulations in
   tests/test_sparse_attention.py.
 
@@ -71,6 +73,13 @@ class BertVariantConfig:
     pos_att_types: Tuple[str, ...] = ()
     position_biased_input: bool = True
     max_relative: int = 0             # 0 → max_position
+    # Reformer axial position factorization (HF axial_pos_shape /
+    # axial_pos_embds_dim): position p = i0*s1 + i1 gets
+    # concat(w0[i0] [d0], w1[i1] [d1]); empty shape = one learned table.
+    # Dims default to (H//4, H-H//4) — (64, 192) at the checkpoint's
+    # H=256 — so shrunk test widths stay consistent.
+    axial_pos_shape: Tuple[int, ...] = ()
+    axial_pos_dims: Tuple[int, ...] = ()
     pooler: str = "tanh"              # tanh | gelu_cls | cls
     signal_length: int = 30           # synthesizer score-MLP width
     pad_token_id: int = 0
@@ -101,8 +110,11 @@ _VARIANTS = {
     # B4-4-4 layout, reference models/PLM.py:30-35) — layers split into
     # pool_blocks blocks with stride-2 CLS-preserving mean pooling
     # between blocks; identity pooler
+    # (no token-type table: HF funnel's embeddings are word + LayerNorm
+    # only — segments live inside its attention as seg_embed, unused for
+    # single-segment news titles)
     "funnel": BertVariantConfig(num_layers=6, pooler="cls",
-                                pool_blocks=3),
+                                pool_blocks=3, type_vocab_size=0),
     "synthesizer": BertVariantConfig(attention_type="synthesizer"),
     "longformer": BertVariantConfig(attention_type="local", window=32,
                                     max_position=1026, pad_token_id=1,
@@ -121,7 +133,10 @@ _VARIANTS = {
                                  max_length_per_history=21),
     # reformer: alternating chunked-local / LSH layers with shared-QK
     # (google/reformer-crime-and-punishment attn_layers pattern,
-    # reference models/PLM.py:66-78); chunk 64, one look-back/ahead chunk
+    # reference models/PLM.py:66-78); chunk 64, one look-back/ahead
+    # chunk; axial position embeddings factor the 1280-position table as
+    # (40, 32) rows × (64, 192)-dim halves (the checkpoint's
+    # axial_pos_shape/axial_pos_embds_dim — reference SURVEY §5.7)
     "reformer": BertVariantConfig(hidden_size=256, num_layers=6,
                                   num_heads=8, intermediate_size=1024,
                                   attention_layers=("chunked", "lsh"),
@@ -129,7 +144,9 @@ _VARIANTS = {
                                   max_position=1280, pad_token_id=2,
                                   cls_token_id=1, sep_token_id=2,
                                   pooler="cls", max_length=1280,
-                                  max_length_per_history=26),
+                                  max_length_per_history=26,
+                                  type_vocab_size=0,
+                                  axial_pos_shape=(40, 32)),
 }
 
 
@@ -302,9 +319,11 @@ def funnel_pool(x: jnp.ndarray, attn_mask: jnp.ndarray
 
     Position 0 ([CLS]) passes through; the rest mean-pool in pairs
     (mask-weighted so padding never dilutes a real token); the pooled
-    mask keeps a position iff either source position was valid
-    (Funnel-Transformer §2.2's pool-query-only pyramid, applied to the
-    full hidden state as in the encoder-only configuration)."""
+    mask keeps a position iff either source position was valid. Used
+    pool-query-only (Funnel-Transformer §2.2): each block's first layer
+    attends these pooled queries against the UNPOOLED keys/values
+    (BertModel passes kv=<unpooled>), and the residual adds the pooled
+    input — h ← LayerNorm(pool(h) + Attn(pool(h), h, h))."""
     B, S, H = x.shape
     cls_x, cls_m = x[:, :1], attn_mask[:, :1]
     rest_x, rest_m = x[:, 1:], attn_mask[:, 1:]
@@ -433,9 +452,16 @@ class _SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 kv: Optional[jnp.ndarray] = None,
+                 kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         c = self.cfg
         B, S, H = x.shape
+        if kv is not None:
+            # cross-length attention (funnel pool-query-only boundary):
+            # only the dense "full" score path supports it
+            assert c.attention_type == "full", \
+                f"kv unsupported for attention_type {c.attention_type}"
         if c.attention_type == "synthesizer":
             # dense synthesizer: value projection then an MLP over the
             # feature axis produces the [S, S] mixing matrix directly
@@ -452,8 +478,8 @@ class _SelfAttention(nn.Module):
         head_dim = H // c.num_heads
 
         def heads(t):
-            return t.reshape(B, S, c.num_heads, head_dim).transpose(
-                0, 2, 1, 3)
+            return t.reshape(B, t.shape[1], c.num_heads,
+                             head_dim).transpose(0, 2, 1, 3)
 
         if c.attention_type == "lsh":
             # Reformer LSH layer: shared QK (one projection serves both,
@@ -466,9 +492,11 @@ class _SelfAttention(nn.Module):
                                 seed=c.layer_seed)
             return out.transpose(0, 2, 1, 3).reshape(B, S, H)
 
+        kv_src = x if kv is None else kv
+        key_mask = attn_mask if kv_mask is None else kv_mask
         q = nn.Dense(H, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(H, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(H, dtype=self.dtype, name="value")(x)
+        k = nn.Dense(H, dtype=self.dtype, name="key")(kv_src)
+        v = nn.Dense(H, dtype=self.dtype, name="value")(kv_src)
         q, k, v = heads(q), heads(k), heads(v)
 
         if c.attention_type == "chunked":
@@ -498,19 +526,21 @@ class _SelfAttention(nn.Module):
             # 4-D layout transitions around the prob-dropout tensors
             # (~2.5%/step on the newsbert v5e profile)
             z = B * c.num_heads
-            qf = q.reshape(z, S, head_dim)
-            kf = k.reshape(z, S, head_dim)
-            vf = v.reshape(z, S, head_dim)
+            Sq, Sk = q.shape[2], k.shape[2]
+            qf = q.reshape(z, Sq, head_dim)
+            kf = k.reshape(z, Sk, head_dim)
+            vf = v.reshape(z, Sk, head_dim)
             scores = jnp.einsum("zqd,zkd->zqk", qf, kf) / jnp.sqrt(
                 jnp.asarray(head_dim, self.dtype))
-            mask = jnp.broadcast_to(attn_mask[:, None, None, :],
-                                    (B, c.num_heads, S, S)).reshape(z, S, S)
+            mask = jnp.broadcast_to(
+                key_mask[:, None, None, :],
+                (B, c.num_heads, Sq, Sk)).reshape(z, Sq, Sk)
             probs = masked_softmax(scores, mask)
             probs = nn.Dropout(c.attention_dropout,
                                deterministic=deterministic)(probs)
             out = jnp.einsum("zqk,zkd->zqd", probs, vf)
-            return out.reshape(B, c.num_heads, S, head_dim).transpose(
-                0, 2, 1, 3).reshape(B, S, H)
+            return out.reshape(B, c.num_heads, Sq, head_dim).transpose(
+                0, 2, 1, 3).reshape(B, Sq, H)
         if c.attention_type == "local" and c.window > 0 and S > 256:
             # long-sequence path: exact block-banded attention, O(S·BS)
             # scores instead of O(S²) (ops/local_attention.py). Attention
@@ -541,7 +571,12 @@ class _Layer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray,
                  deterministic: bool = True,
-                 rel_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 rel_emb: Optional[jnp.ndarray] = None,
+                 kv: Optional[jnp.ndarray] = None,
+                 kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """kv/kv_mask: separate key/value sequence for funnel's
+        pool-query-only boundary layers (queries/residual come from the
+        pooled ``x``; keys/values from the unpooled ``kv``)."""
         c = self.cfg
         if c.attention_type == "disentangled":
             attn = _DisentangledSelfAttention(c, self.dtype,
@@ -549,7 +584,7 @@ class _Layer(nn.Module):
                 x, attn_mask, rel_emb, deterministic)
         else:
             attn = _SelfAttention(c, self.dtype, name="attention")(
-                x, attn_mask, deterministic)
+                x, attn_mask, deterministic, kv=kv, kv_mask=kv_mask)
         attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attn_out")(attn)
         attn = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
@@ -576,7 +611,29 @@ class BertModel(nn.Module):
         emb = nn.Embed(c.vocab_size, c.hidden_size,
                        embedding_init=nn.initializers.normal(0.02),
                        dtype=self.dtype, name="word_embeddings")(input_ids)
-        if c.position_biased_input:
+        if c.position_biased_input and c.axial_pos_shape:
+            # Reformer axial position embeddings (HF
+            # AxialPositionEmbeddings; reference models/PLM.py:66-78's
+            # checkpoint): the [s0*s1, H] table factors as two small
+            # tables — position p = i0*s1 + i1 reads
+            # concat(w0[i0], w1[i1]) — s0·d0 + s1·d1 parameters instead
+            # of s0·s1·H. Param shapes mirror HF's weights.0/.1 layout.
+            s0, s1 = c.axial_pos_shape
+            if c.axial_pos_dims:
+                d0, d1 = c.axial_pos_dims
+            else:
+                d0 = c.hidden_size // 4
+                d1 = c.hidden_size - d0
+            ax0 = self.param("axial_pos_0", nn.initializers.normal(0.02),
+                             (s0, 1, d0), jnp.float32)
+            ax1 = self.param("axial_pos_1", nn.initializers.normal(0.02),
+                             (1, s1, d1), jnp.float32)
+            full = jnp.concatenate(
+                [jnp.broadcast_to(ax0, (s0, s1, d0)),
+                 jnp.broadcast_to(ax1, (s0, s1, d1))],
+                axis=-1).reshape(s0 * s1, c.hidden_size)
+            emb = emb + full[:S][None, :, :].astype(self.dtype)
+        elif c.position_biased_input:
             pos = self.param("position_embeddings",
                              nn.initializers.normal(0.02),
                              (c.max_position, c.hidden_size), jnp.float32)
@@ -607,16 +664,26 @@ class BertModel(nn.Module):
             pool_at = {round(c.num_layers * b / c.pool_blocks)
                        for b in range(1, c.pool_blocks)}
         for i in range(c.num_layers):
-            if i in pool_at:
-                x, attn_mask = funnel_pool(x, attn_mask)
             lc = c
             if c.attention_layers:
                 lc = c.replace(attention_type=c.attention_layers[
                     i % len(c.attention_layers)], layer_seed=i)
             elif c.attention_type in ("bigbird", "lsh"):
                 lc = c.replace(layer_seed=i)
-            x = _Layer(lc, self.dtype, name=f"layer_{i}")(
-                x, attn_mask, deterministic, rel_emb=rel_emb)
+            if i in pool_at:
+                # pool-query-only (Funnel-Transformer §2.2): the block's
+                # first layer attends pooled queries → UNPOOLED keys/
+                # values — h ← LayerNorm(pool(h) + Attn(pool(h), h, h))
+                # — so no information is discarded before the attention
+                # that compresses it
+                pooled_x, pooled_mask = funnel_pool(x, attn_mask)
+                x = _Layer(lc, self.dtype, name=f"layer_{i}")(
+                    pooled_x, pooled_mask, deterministic, rel_emb=rel_emb,
+                    kv=x, kv_mask=attn_mask)
+                attn_mask = pooled_mask
+            else:
+                x = _Layer(lc, self.dtype, name=f"layer_{i}")(
+                    x, attn_mask, deterministic, rel_emb=rel_emb)
         pooled = self._pool(x)
         return x, pooled
 
@@ -841,6 +908,67 @@ def load_hf_longformer_weights(params, hf_state_dict, num_layers: int,
         _put_common_layer(put, hf, fx)
     put(["pooler", "kernel"], "pooler.dense.weight", transpose=True)
     put(["pooler", "bias"], "pooler.dense.bias")
+    return p, placed[0]
+
+
+def load_hf_funnel_weights(params, hf_state_dict, num_layers: int,
+                           prefix: str = "", pool_blocks: int = 3):
+    """Structural init of the funnel variant from a HuggingFace
+    FunnelBaseModel state_dict (reference models/PLM.py:30-35 loads
+    funnel-transformer/small-base via AutoModel).
+
+    Per-block attention/FFN weights are standard shapes and map directly:
+    q_head/k_head/v_head → query/key/value (q_head has no bias in HF;
+    our query bias keeps its zero init, which IS the no-bias behavior),
+    post_proj → attn_out, attention.layer_norm → attn_norm,
+    ffn.linear_1/linear_2 → ffn_in/ffn_out, ffn.layer_norm → ffn_norm,
+    embeddings.word_embeddings/layer_norm → word_embeddings/embed_norm.
+    Our layer i lives in pyramid block b; it takes HF block b's layer at
+    the same within-block offset (HF small is B4-4-4; with fewer local
+    layers per block the leading HF layers of each block are used).
+
+    NOT mapped, per-weight (no counterpart in this encoder):
+    - r_kernel / r_w_bias / r_r_bias: Transformer-XL-style relative
+      position attention terms — this encoder uses absolute position
+      embeddings (which HF funnel does not have), so the r-terms have
+      no slot to land in.
+    - r_s_bias / seg_embed: segment (token-type A/B) attention terms;
+      single-segment news titles never use them.
+    The import is therefore a *structural* initialisation (content
+    projections + norms + embeddings), not a numerical-parity load —
+    the attention score composition differs by the relative terms.
+    """
+    p, put, placed = _hf_putter(hf_state_dict, params, prefix)
+    put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
+    put(["embed_norm", "scale"], "embeddings.layer_norm.weight")
+    put(["embed_norm", "bias"], "embeddings.layer_norm.bias")
+    # block boundaries identical to BertModel's pool_at computation
+    starts = [round(num_layers * b / pool_blocks)
+              for b in range(pool_blocks)] + [num_layers]
+    for i in range(num_layers):
+        b = max(bb for bb in range(pool_blocks) if starts[bb] <= i)
+        l = i - starts[b]
+        hf = f"encoder.blocks.{b}.{l}."
+        fx = f"layer_{i}"
+        for ours, theirs in [("query", "attention.q_head"),
+                             ("key", "attention.k_head"),
+                             ("value", "attention.v_head")]:
+            put([fx, "attention", ours, "kernel"], hf + theirs + ".weight",
+                transpose=True)
+            put([fx, "attention", ours, "bias"], hf + theirs + ".bias")
+        put([fx, "attn_out", "kernel"], hf + "attention.post_proj.weight",
+            transpose=True)
+        put([fx, "attn_out", "bias"], hf + "attention.post_proj.bias")
+        put([fx, "attn_norm", "scale"], hf + "attention.layer_norm.weight")
+        put([fx, "attn_norm", "bias"], hf + "attention.layer_norm.bias")
+        put([fx, "ffn_in", "kernel"], hf + "ffn.linear_1.weight",
+            transpose=True)
+        put([fx, "ffn_in", "bias"], hf + "ffn.linear_1.bias")
+        put([fx, "ffn_out", "kernel"], hf + "ffn.linear_2.weight",
+            transpose=True)
+        put([fx, "ffn_out", "bias"], hf + "ffn.linear_2.bias")
+        put([fx, "ffn_norm", "scale"], hf + "ffn.layer_norm.weight")
+        put([fx, "ffn_norm", "bias"], hf + "ffn.layer_norm.bias")
     return p, placed[0]
 
 

@@ -176,3 +176,108 @@ def test_reformer_layers_alternate():
     assert "key" in layers["layer_0"]["attention"]
     assert "query_key" in layers["layer_1"]["attention"]
     assert "key" not in layers["layer_1"]["attention"]
+
+
+def test_full_attention_separate_kv_matches_dense():
+    """Funnel pool-query-only substrate: _SelfAttention(full) with a
+    separate kv sequence (pooled queries → unpooled keys/values) must
+    equal dense cross-attention computed from the extracted projections
+    (Funnel-Transformer §2.2)."""
+    from news_recommendation_mind_tpu.models.bert import _SelfAttention
+    cfg = bert_variant("bert", vocab_size=100).replace(
+        hidden_size=16, num_heads=2, attention_dropout=0.0)
+    mod = _SelfAttention(cfg.replace(attention_type="full"), jnp.float32)
+    B, Sq, Sk, H = 2, 5, 9, 16
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((B, Sq, H)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((B, Sk, H)), jnp.float32)
+    q_mask = jnp.ones((B, Sq), jnp.float32)
+    kv_mask = jnp.asarray((rng.random((B, Sk)) > 0.3).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x, q_mask, True,
+                      kv=kv, kv_mask=kv_mask)
+    out = mod.apply(params, x, q_mask, True, kv=kv, kv_mask=kv_mask)
+    assert out.shape == (B, Sq, H)
+
+    p = params["params"]
+    def proj(t, name):
+        return t @ p[name]["kernel"] + p[name]["bias"]
+    nh, hd = 2, H // 2
+    q = proj(x, "query").reshape(B, Sq, nh, hd).transpose(0, 2, 1, 3)
+    k = proj(kv, "key").reshape(B, Sk, nh, hd).transpose(0, 2, 1, 3)
+    v = proj(kv, "value").reshape(B, Sk, nh, hd).transpose(0, 2, 1, 3)
+    want = _dense_reference(q, k, v, kv_mask[:, None, None, :])
+    want = want.transpose(0, 2, 1, 3).reshape(B, Sq, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_funnel_boundary_layer_attends_unpooled_keys():
+    """At a pooling boundary the layer must see the UNPOOLED key/value
+    sequence: perturbing only the second token of a pooled pair changes
+    the boundary layer's output even though the pooled QUERY of a
+    mean-pooled pair alone cannot distinguish (a,b) from (b,a)."""
+    cfg = bert_variant("funnel", vocab_size=60).replace(
+        hidden_size=16, intermediate_size=32, num_heads=2, num_layers=2,
+        pool_blocks=2, hidden_dropout=0.0, attention_dropout=0.0)
+    model = BertModel(cfg)
+    rng = np.random.default_rng(5)
+    S = 9
+    ids = rng.integers(3, 60, (1, S)).astype(np.int32)
+    mask = np.ones((1, S), np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(mask))
+    h1, _ = model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    # swap a pooled pair (positions 1,2 pool together): mean is invariant
+    # but the unpooled keys are not
+    ids2 = ids.copy()
+    ids2[0, 1], ids2[0, 2] = ids[0, 2], ids[0, 1]
+    if ids2[0, 1] == ids2[0, 2]:
+        ids2[0, 2] = (ids2[0, 2] + 1) % 60 or 3
+    h2, _ = model.apply(params, jnp.asarray(ids2), jnp.asarray(mask))
+    assert h1.shape[1] == 1 + (S - 1 + 1) // 2  # CLS + ceil(8/2)... pooled
+    # pooled length: cls + ceil((S-1)/2)
+    assert h1.shape[1] == 1 + -(-(S - 1) // 2)
+    assert not np.allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+
+
+def test_reformer_axial_positions_structure_and_layout():
+    """Reformer uses factored axial position embeddings (HF
+    axial_pos_shape (40,32)): two small tables replace the [1280, H]
+    matrix, and position p reads concat(w0[p // s1], w1[p % s1])."""
+    cfg = bert_variant("reformer", vocab_size=80).replace(
+        hidden_size=32, intermediate_size=64, num_heads=4, num_layers=2,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    model = BertModel(cfg)
+    S = 70                      # crosses the s1=32 row boundary twice
+    ids = np.full((1, S), 5, np.int32)   # identical tokens everywhere
+    mask = np.ones((1, S), np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(mask))
+    p = params["params"]
+    assert "position_embeddings" not in p
+    d0, d1 = 32 // 4, 32 - 32 // 4
+    assert p["axial_pos_0"].shape == (40, 1, d0)
+    assert p["axial_pos_1"].shape == (1, 32, d1)
+
+    # layout exactness: a 0-layer model's output is LayerNorm(word +
+    # axial_position) — rebuild the factored table row-major
+    # (p = i0*32 + i1, HF AxialPositionEmbeddings order) in numpy and
+    # compare the whole embedding path
+    cfg0 = cfg.replace(num_layers=0)
+    model0 = BertModel(cfg0)
+    params0 = model0.init(jax.random.PRNGKey(1), jnp.asarray(ids),
+                          jnp.asarray(mask))
+    hidden, _ = model0.apply(params0, jnp.asarray(ids), jnp.asarray(mask))
+    p0 = params0["params"]
+    ax0 = np.asarray(p0["axial_pos_0"])[:, 0, :]   # [40, d0]
+    ax1 = np.asarray(p0["axial_pos_1"])[0]         # [32, d1]
+    full = np.concatenate(
+        [np.repeat(ax0, 32, axis=0),               # i0 varies per 32-row
+         np.tile(ax1, (40, 1))], axis=1)           # i1 cycles inside rows
+    word = np.asarray(p0["word_embeddings"]["embedding"])[5]
+    emb = word[None] + full[:S]                    # [S, H]
+    mu = emb.mean(-1, keepdims=True)
+    var = emb.var(-1, keepdims=True)
+    want = (emb - mu) / np.sqrt(var + 1e-12)       # LN scale=1, bias=0
+    np.testing.assert_allclose(np.asarray(hidden)[0], want,
+                               rtol=1e-4, atol=1e-4)
