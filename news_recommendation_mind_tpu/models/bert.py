@@ -454,8 +454,27 @@ class _SelfAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray,
                  deterministic: bool = True,
                  kv: Optional[jnp.ndarray] = None,
-                 kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 kv_mask: Optional[jnp.ndarray] = None,
+                 flat_dims: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
         c = self.cfg
+        if flat_dims is not None:
+            # 2-D residual-stream fast path (BertModel flattens once for
+            # all-full-attention variants): x is [B·S, H] — projections
+            # and the fused kernel consume it natively, so no 3-D↔2-D
+            # relayout exists anywhere in the layer (measured ~13 ms/step
+            # of reshape/copy churn at newsbert bench shapes otherwise)
+            B, S = flat_dims
+            H = x.shape[-1]
+            assert c.attention_type == "full" and kv is None
+            q = nn.Dense(H, dtype=self.dtype, name="query")(x)
+            k = nn.Dense(H, dtype=self.dtype, name="key")(x)
+            v = nn.Dense(H, dtype=self.dtype, name="value")(x)
+            from ..ops.pallas_mhsa import short_mhsa
+            p_drop = (0.0 if deterministic
+                      else float(c.attention_dropout))
+            rng = self.make_rng("dropout") if p_drop > 0.0 else None
+            return short_mhsa(q, k, v, attn_mask, c.num_heads,
+                              p_drop=p_drop, dropout_rng=rng, seq_len=S)
         B, S, H = x.shape
         if kv is not None:
             # cross-length attention (funnel pool-query-only boundary):
@@ -497,6 +516,24 @@ class _SelfAttention(nn.Module):
         q = nn.Dense(H, dtype=self.dtype, name="query")(x)
         k = nn.Dense(H, dtype=self.dtype, name="key")(kv_src)
         v = nn.Dense(H, dtype=self.dtype, name="value")(kv_src)
+
+        if c.attention_type == "full" and kv is None and S <= 64:
+            # short-article regime (the PLM news tower, S=30): the fused
+            # Pallas MHSA kernel keeps q/k/v in [B, S, H] layout (no
+            # head-split transposes), packs articles into MXU-aligned
+            # block-diagonal score matmuls, and fuses masked softmax +
+            # prob dropout in VMEM — measured ~46 ms/step of unfused XLA
+            # attention work at newsbert bench shapes (ops/pallas_mhsa.py)
+            import jax as _jax
+
+            from ..ops.pallas_mhsa import mhsa_plan, short_mhsa
+            if (_jax.default_backend() in ("tpu", "axon")
+                    and mhsa_plan(S, H, c.num_heads, 16) is not None):
+                p_drop = 0.0 if deterministic else float(c.attention_dropout)
+                rng = (self.make_rng("dropout") if p_drop > 0.0 else None)
+                return short_mhsa(q, k, v, attn_mask, c.num_heads,
+                                  p_drop=p_drop, dropout_rng=rng)
+
         q, k, v = heads(q), heads(k), heads(v)
 
         if c.attention_type == "chunked":
@@ -573,10 +610,13 @@ class _Layer(nn.Module):
                  deterministic: bool = True,
                  rel_emb: Optional[jnp.ndarray] = None,
                  kv: Optional[jnp.ndarray] = None,
-                 kv_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 kv_mask: Optional[jnp.ndarray] = None,
+                 flat_dims: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
         """kv/kv_mask: separate key/value sequence for funnel's
         pool-query-only boundary layers (queries/residual come from the
-        pooled ``x``; keys/values from the unpooled ``kv``)."""
+        pooled ``x``; keys/values from the unpooled ``kv``).
+        flat_dims: (B, S) when x rides the 2-D [B·S, H] residual stream
+        (the LN/FFN/residual ops below are per-token and rank-agnostic)."""
         c = self.cfg
         if c.attention_type == "disentangled":
             attn = _DisentangledSelfAttention(c, self.dtype,
@@ -584,7 +624,8 @@ class _Layer(nn.Module):
                 x, attn_mask, rel_emb, deterministic)
         else:
             attn = _SelfAttention(c, self.dtype, name="attention")(
-                x, attn_mask, deterministic, kv=kv, kv_mask=kv_mask)
+                x, attn_mask, deterministic, kv=kv, kv_mask=kv_mask,
+                flat_dims=flat_dims)
         attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attn_out")(attn)
         attn = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
@@ -663,6 +704,16 @@ class BertModel(nn.Module):
         if c.pool_blocks > 1:
             pool_at = {round(c.num_layers * b / c.pool_blocks)
                        for b in range(1, c.pool_blocks)}
+        # all-full-attention variants (bert/newsbert/distill) ride a 2-D
+        # [B·S, H] residual stream: every op in a layer is per-token
+        # except attention, and the fused short-MHSA kernel consumes the
+        # flat layout natively — no head transposes and no 3-D↔2-D
+        # relayouts anywhere in the encoder body
+        flat2d = (c.attention_type == "full" and not c.attention_layers
+                  and not pool_at and S <= 64)
+        B = x.shape[0]
+        if flat2d:
+            x = x.reshape(B * S, c.hidden_size)
         for i in range(c.num_layers):
             lc = c
             if c.attention_layers:
@@ -683,7 +734,10 @@ class BertModel(nn.Module):
                 attn_mask = pooled_mask
             else:
                 x = _Layer(lc, self.dtype, name=f"layer_{i}")(
-                    x, attn_mask, deterministic, rel_emb=rel_emb)
+                    x, attn_mask, deterministic, rel_emb=rel_emb,
+                    flat_dims=(B, S) if flat2d else None)
+        if flat2d:
+            x = x.reshape(B, S, c.hidden_size)
         pooled = self._pool(x)
         return x, pooled
 
