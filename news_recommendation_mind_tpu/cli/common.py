@@ -20,7 +20,7 @@ from ..experiment import (
     build_train_loader,
 )
 from ..train import Trainer, create_train_state, load_checkpoint, \
-    make_optimizer
+    optimizer_for
 from ..utils.logging import get_logger, log_result
 
 logger = get_logger("cli")
@@ -28,7 +28,7 @@ logger = get_logger("cli")
 
 def _restored_state(cfg: Config, model, sample_batch):
     params = model.init(jax.random.PRNGKey(cfg.seed), sample_batch)
-    opt = make_optimizer(cfg.lr, cfg.bert_lr)
+    opt = optimizer_for(cfg)
     template = create_train_state(params, opt)
     if cfg.checkpoint:
         # -1 = newest checkpoint, matching the Trainer's resume semantics

@@ -85,6 +85,8 @@ class Config:
     remat: bool = False              # jax.checkpoint the encoders
     profile_dir: str = ""            # write a jax.profiler trace here
     async_save: bool = False         # overlap checkpoint IO with training
+    fused_adam: bool = True          # fused Pallas Adam leaves on TPU
+                                     # (train/state.py optimizer_for)
     anomaly: bool = False            # jax_debug_nans (reference --anomaly)
     device_gather: bool = True       # keep token cache in HBM, ship ids only
     fused_embedding: bool = True     # fuse embedding through the CNN conv

@@ -19,7 +19,7 @@ from .config import Config
 from .data.loader import NewsLoader, _bucket_for
 from .evaluation.engine import encode_all_news
 from .experiment import build_data, build_model, build_train_loader
-from .train import create_train_state, load_checkpoint, make_optimizer
+from .train import create_train_state, load_checkpoint, optimizer_for
 from .utils.logging import get_logger
 
 logger = get_logger("serving")
@@ -45,7 +45,7 @@ class Recommender:
         sample = ensure_tokens(next(iter(sample_loader)), sample_loader)
         params = self.model.init(jax.random.PRNGKey(cfg.seed), sample)
         template = create_train_state(
-            params, make_optimizer(cfg.lr, cfg.bert_lr))
+            params, optimizer_for(cfg))
         try:
             state = load_checkpoint(cfg.ckpt_dir(), cfg.scale, template,
                                     step=checkpoint_step,

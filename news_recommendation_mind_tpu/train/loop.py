@@ -24,7 +24,7 @@ from ..parallel.mesh import batch_sharding
 from ..utils.logging import get_logger, log_result
 from .checkpoint import (latest_step, load_checkpoint, save_checkpoint,
                          wait_for_pending_saves)
-from .state import create_train_state, make_optimizer
+from .state import create_train_state, optimizer_for
 from .step import make_train_multistep, make_train_step
 
 logger = get_logger("train")
@@ -61,9 +61,7 @@ class Trainer:
         self.eval_loader = eval_loader
         self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
         total_steps = cfg.epochs * max(len(train_loader), 1)
-        self.optimizer = make_optimizer(
-            cfg.lr, cfg.bert_lr, scheduler=cfg.scheduler,
-            warmup=cfg.warmup, total_steps=total_steps)
+        self.optimizer = optimizer_for(cfg, total_steps=total_steps)
         if sample_batch is None:
             sample_batch = next(iter(train_loader))
         sample_batch = ensure_tokens(sample_batch, train_loader)

@@ -91,9 +91,15 @@ def _build_step_fn(model, optimizer, remat: bool, news_table,
             return train_loss(scores, batch["label"], batch.get("cdd_mask"))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
+        if hasattr(optimizer, "fused_apply"):
+            # FusedAdam: the apply-updates add folds into the per-leaf
+            # Pallas kernel (train/state.py make_fused_optimizer)
+            params, opt_state = optimizer.fused_apply(
+                state.params, state.opt_state, grads)
+        else:
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         metrics = {"loss": loss.astype(jnp.float32)}

@@ -295,3 +295,48 @@ def test_grad_norm_metric_is_opt_in(setup):
     _, m = make_train_step(model, opt, mesh=mesh, donate=False,
                            with_grad_norm=True)(state, batch, rng)
     assert float(m["grad_norm"]) > 0.0
+
+
+def test_fused_optimizer_matches_reference():
+    """CLAUDE.md exactness bar for the fused-Adam restructuring:
+    make_fused_optimizer (update() path AND fused_apply path) must
+    produce the SAME parameters as per-leaf optax make_optimizer over
+    multiple steps, for both LR groups and with the linear warmup
+    schedule."""
+    from news_recommendation_mind_tpu.train.state import (
+        make_fused_optimizer, make_optimizer,
+    )
+    rng = np.random.default_rng(0)
+
+    def tree():
+        return {
+            "embedding": {"w": jnp.asarray(
+                rng.standard_normal((17, 5)), jnp.float32)},
+            "bert_encoder": {"layer_0": {"k": jnp.asarray(
+                rng.standard_normal((4, 9)), jnp.float32)},
+                "bias": jnp.asarray(rng.standard_normal(9), jnp.float32)},
+            "head": jnp.asarray(rng.standard_normal((3,)), jnp.float32),
+        }
+
+    for scheduler in ("none", "linear"):
+        params_a = tree()
+        params_b = jax.tree_util.tree_map(jnp.array, params_a)
+        opt_a = make_optimizer(1e-2, 3e-4, scheduler=scheduler, warmup=3,
+                               total_steps=10)
+        opt_b = make_fused_optimizer(1e-2, 3e-4, scheduler=scheduler,
+                                     warmup=3, total_steps=10)
+        sa, sb = opt_a.init(params_a), opt_b.init(params_b)
+        for step in range(6):
+            grads = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    rng.standard_normal(p.shape), jnp.float32), params_a)
+            ua, sa = opt_a.update(grads, sa, params_a)
+            ub, sb = opt_b.update(grads, sb, params_b)
+            import optax as _optax
+            params_a = _optax.apply_updates(params_a, ua)
+            params_b = _optax.apply_updates(params_b, ub)
+            for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                            jax.tree_util.tree_leaves(params_b)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+                    err_msg=f"scheduler={scheduler} step={step}")
