@@ -59,6 +59,75 @@ def _wait_for_devices(retries: int = 6, delay_s: float = 20.0):
             time.sleep(delay_s)
 
 
+def bench_newsbert(jax, mesh) -> float:
+    """PLM (newsbert) dedup train-step throughput — the round-3 perf
+    frontier (BASELINE.md "PLM (newsbert) step decomposition"): bs=128,
+    U=2048 unique articles, S=30, bf16, hardware-RNG dropout, fused
+    Pallas short-MHSA + fused Adam. Returns examples/s."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from news_recommendation_mind_tpu.models import make_user_encoder
+    from news_recommendation_mind_tpu.models.bert import (
+        BertModel, bert_variant,
+    )
+    from news_recommendation_mind_tpu.models.plm import PLM
+    from news_recommendation_mind_tpu.models.two_tower import (
+        forward_from_unique,
+    )
+    from news_recommendation_mind_tpu.train import (
+        create_train_state, make_fused_optimizer, make_train_step,
+    )
+
+    BS, U, S = 128, 2048, 30
+    rng = np.random.default_rng(0)
+    batch = {
+        "uniq_token": rng.integers(1, VOCAB, (U, S)).astype(np.int32),
+        "uniq_attn": np.ones((U, S), np.float32),
+        "cdd_pos": rng.integers(0, U, (BS, 5)).astype(np.int32),
+        "his_pos": rng.integers(0, U, (BS, HIS_SIZE)).astype(np.int32),
+        "his_mask": np.ones((BS, HIS_SIZE), np.float32),
+        "cdd_mask": np.ones((BS, 5), np.float32),
+        "label": np.zeros(BS, np.int32),
+        "user_id": rng.integers(0, 1000, BS).astype(np.int32),
+    }
+    variant = bert_variant("newsbert", vocab_size=VOCAB, signal_length=S)
+    model = PLM(bert=BertModel(variant, dtype=jnp.bfloat16),
+                user_encoder=make_user_encoder("attn", hidden_dim=768,
+                                               head_num=12,
+                                               dtype=jnp.bfloat16),
+                hidden_dim=768)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        batch, False, method=forward_from_unique)
+    opt = make_fused_optimizer(1e-4, 6e-6)
+    state = create_train_state(params, opt)
+    # the production Trainer path: ids-only batch, token cache resident
+    # in HBM, in-step gather (train/step.py dedup branch)
+    n_news = 30_000
+    table = (rng.integers(1, VOCAB, (n_news + 1, S)).astype(np.int32),
+             np.ones((n_news + 1, S), np.float32))
+    dedup_batch = {
+        "uniq_id": rng.integers(1, n_news, U).astype(np.int32),
+        "cdd_pos": batch["cdd_pos"], "his_pos": batch["his_pos"],
+        "his_mask": batch["his_mask"], "cdd_mask": batch["cdd_mask"],
+        "label": batch["label"], "user_id": batch["user_id"],
+    }
+    step = make_train_step(model, opt, mesh=mesh, donate=True,
+                           news_table=table)
+    key = jax.random.PRNGKey(0)
+    for _ in range(4):
+        state, metrics = step(state, dedup_batch, key)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    N = 20
+    for _ in range(N):
+        state, metrics = step(state, dedup_batch, key)
+    float(metrics["loss"])
+    return BS * N / (time.perf_counter() - t0)
+
+
 def main() -> None:
     import os
 
@@ -75,6 +144,11 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     _wait_for_devices()
+    # production RNG setup (config.apply_rng_impl): the TPU hardware
+    # generator makes backward-pass dropout-mask regeneration nearly
+    # free — threefry regen costs ~26% of the newsbert step
+    if any(d.platform != "cpu" for d in jax.devices()):
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from news_recommendation_mind_tpu.models import (
         TwoTower, make_user_encoder,
@@ -139,11 +213,16 @@ def main() -> None:
     per_chip = examples_per_s / n_chips
     vs = (per_chip / BASELINE_EXAMPLES_PER_S
           if BASELINE_EXAMPLES_PER_S else 1.0)
+    nb = bench_newsbert(jax, mesh) / n_chips
     print(json.dumps({
         "metric": "train_examples_per_s_per_chip",
         "value": round(per_chip, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(vs, 3),
+        # the PLM-family frontier tracked since round 3 (round-2 anchor:
+        # 136 ms/step = 941 ex/s/chip at the same shapes)
+        "newsbert_examples_per_s_per_chip": round(nb, 1),
+        "newsbert_vs_r2": round(nb / 941.0, 3),
     }))
 
 
