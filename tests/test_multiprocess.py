@@ -158,7 +158,15 @@ def test_two_process_eval_matches_single(tmp_path):
         [sys.executable, worker_path, coord, str(i), root],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
-    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    try:
+        outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    finally:
+        # a timed-out / failed run must not leak workers: leftover
+        # processes starve the 2-core host and cascade later runs into
+        # Gloo rendezvous timeouts
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     with open(os.path.join(root, "metrics.json")) as f:
