@@ -33,31 +33,41 @@ from .cache import Behaviors, NewsCache
 Batch = Dict[str, np.ndarray]
 
 
-def _pad_histories(behaviors: Behaviors, his_size: int, descend: bool):
+def _pad_histories(behaviors: Behaviors, his_size: int, descend: bool,
+                   chunk: int = 1 << 20):
     """Vectorized history truncate/pad: returns ids [n, his_size] int32 and
     mask [n, his_size] float32 (empty history gets mask[0]=1, matching
     reference utils/MIND.py:333-336).
 
-    Single ragged→dense numpy pass (no per-row Python loop — at
-    MIND-large scale this runs over 2.3M+ behavior rows per loader
-    construction, round-1 VERDICT weak item 4): each row i takes its
-    first min(len, his_size) history ids (reversed when ``descend``,
-    matching the reference's truncate-then-reverse order)."""
+    Ragged→dense numpy pass with no per-row Python loop, processed in
+    row chunks: a single pass at MINDlarge-rehearsal scale (9.2M
+    per-positive train rows × his 50) materialised ~15 GB of int64
+    index/validity temporaries and took 246 s; chunking bounds the
+    temporaries to ~0.5 GB and int32 column math halves their width,
+    measured 37 s at the same scale (6.7x). Each row i takes its first min(len, his_size)
+    history ids (reversed when ``descend``, matching the reference's
+    truncate-then-reverse order)."""
     n = len(behaviors)
     offs = behaviors.his_offsets
-    lens = np.minimum(np.diff(offs), his_size)                 # [n]
-    col = np.arange(his_size)[None, :]                         # [1, his]
-    valid = col < lens[:, None]                                # [n, his]
-    if descend:
-        src = offs[:-1, None] + (lens[:, None] - 1 - col)
-    else:
-        src = offs[:-1, None] + col
-    src = np.where(valid, src, 0)
-    if behaviors.his_flat.size:
-        ids = np.where(valid, behaviors.his_flat[src], 0).astype(np.int32)
-    else:
-        ids = np.zeros((n, his_size), dtype=np.int32)
-    mask = (col < np.maximum(lens, 1)[:, None]).astype(np.float32)
+    flat = behaviors.his_flat
+    ids = np.zeros((n, his_size), dtype=np.int32)
+    mask = np.zeros((n, his_size), dtype=np.float32)
+    col = np.arange(his_size, dtype=np.int32)[None, :]         # [1, his]
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        lens = np.minimum(np.diff(offs[s:e + 1]),
+                          his_size).astype(np.int32)           # [m]
+        valid = col < lens[:, None]                            # [m, his]
+        base = offs[s:e, None].astype(np.int64)
+        if descend:
+            src = base + (lens[:, None] - 1 - col)
+        else:
+            src = base + col
+        src = np.where(valid, src, 0)
+        if flat.size:
+            np.copyto(ids[s:e], np.where(valid, flat[src], 0),
+                      casting="unsafe")
+        mask[s:e] = col < np.maximum(lens, 1)[:, None]
     return ids, mask
 
 
