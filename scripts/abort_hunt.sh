@@ -25,12 +25,12 @@ TORCH_TEST="tests/test_ops.py::test_lstm_matches_torch"
 declare -i a_crash=0 b_crash=0
 for i in $(seq 1 "$RUNS"); do
   echo "=== run $i arm A (no torch) ==="
-  LD_PRELOAD=$PWD/$SHIM python -m pytest tests/test_serving.py -q \
+  LD_PRELOAD=$PWD/$SHIM python -m pytest -p no:faulthandler tests/test_serving.py -q \
     > "/tmp/abort_A_$i.log" 2>&1
   rc=$?
   [ $rc -ge 2 ] && { a_crash+=1; echo "ARM A CRASH rc=$rc (log /tmp/abort_A_$i.log)"; }
   echo "=== run $i arm B (torch resident) ==="
-  LD_PRELOAD=$PWD/$SHIM python -m pytest "$TORCH_TEST" tests/test_serving.py -q \
+  LD_PRELOAD=$PWD/$SHIM python -m pytest -p no:faulthandler "$TORCH_TEST" tests/test_serving.py -q \
     > "/tmp/abort_B_$i.log" 2>&1
   rc=$?
   [ $rc -ge 2 ] && { b_crash+=1; echo "ARM B CRASH rc=$rc (log /tmp/abort_B_$i.log)"; }

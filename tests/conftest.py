@@ -18,6 +18,19 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# The rare full-suite SIGABRT (ARCHITECTURE.md "Suite-stability
+# campaign") is XLA:CPU's in-process collective rendezvous FATAL-ing
+# when the 8 virtual devices' all-gather participants starve on this
+# 2-core host (symbolized round 3: AllGatherThunk::Execute →
+# InProcessCommunicator::AllGather → AwaitAndLogIfStuck → abort). The
+# starvation is transient scheduling, not deadlock — raise the
+# terminate timeout so slow rendezvous waits instead of killing the
+# interpreter.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+    )
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
