@@ -96,8 +96,76 @@ def group_lists(impr_indexes: Sequence[int],
     return [list(d.values()) for d in dicts]
 
 
+def _grouped_metric_means(labels, preds, want: Dict[str, list],
+                          chunk: int = 65536) -> Dict[str, float]:
+    """Vectorized per-impression metric means over ragged groups.
+
+    The scalar formulations above are the semantic reference (and what
+    the reference-source parity tests pin); at MINDlarge scale their
+    per-impression python loop costs ~46 s for 377k impressions, so the
+    production path pads width-sorted row chunks and computes every
+    requested metric with numpy/scipy row-wise ops — equality with the
+    scalar loop is pinned by tests/test_metrics.py (exact for AUC
+    including tied scores via the same average-rank statistic; for the
+    order-based metrics ties are broken descending-stable, where the
+    scalar loop inherits numpy's unspecified unstable-argsort tie order
+    — the reference's own tie behavior is equally unspecified).
+
+    ``want``: {"auc": [], "mrr": [], "ndcg": [k...], "hit": [k...]}.
+    """
+    import scipy.stats as ss
+
+    n = len(labels)
+    lens = np.fromiter((len(l) for l in labels), np.int64, n)
+    row_order = np.argsort(lens, kind="stable")   # width bucketing
+    acc = defaultdict(float)
+    for start in range(0, n, chunk):
+        rows = row_order[start:start + chunk]
+        m = len(rows)
+        W = int(lens[rows].max())
+        L = np.zeros((m, W), np.float64)
+        S = np.full((m, W), -np.inf, np.float64)
+        for i, r in enumerate(rows):
+            k = lens[r]
+            L[i, :k] = labels[r]
+            S[i, :k] = preds[r]
+        npos = L.sum(axis=1)
+        if "auc" in want:
+            ranks = ss.rankdata(S, method="average", axis=1)
+            npad = (W - lens[rows]).astype(np.float64)
+            pos_rank_sum = np.where(L > 0, ranks, 0.0).sum(axis=1) \
+                - npos * npad
+            nneg = lens[rows] - npos
+            acc["auc"] += float(np.sum(
+                (pos_rank_sum - npos * (npos + 1) / 2.0)
+                / (npos * nneg)))
+        if "mrr" in want or "ndcg" in want or "hit" in want:
+            order = np.argsort(-S, axis=1, kind="stable")
+            Ls = np.take_along_axis(L, order, axis=1)
+            if "mrr" in want:
+                rr = Ls / (np.arange(W, dtype=np.float64) + 1.0)
+                acc["mrr"] += float(np.sum(rr.sum(axis=1) / npos))
+            if "ndcg" in want:
+                discounts = 1.0 / np.log2(np.arange(W) + 2.0)
+                Lb = -np.sort(-L, axis=1)          # ideal ordering
+                gains = (2.0 ** Ls - 1.0) * discounts
+                best = (2.0 ** Lb - 1.0) * discounts
+                for k in want["ndcg"]:
+                    kk = min(W, k)
+                    acc[f"ndcg@{k}"] += float(np.sum(
+                        gains[:, :kk].sum(axis=1)
+                        / best[:, :kk].sum(axis=1)))
+            if "hit" in want:
+                for k in want["hit"]:
+                    kk = min(W, k)
+                    acc[f"hit@{k}"] += float(np.sum(
+                        (Ls[:, :kk] == 1).any(axis=1)))
+    return {key: v / n for key, v in acc.items()}
+
+
 def cal_metric(labels: Iterable[np.ndarray], preds: Iterable[np.ndarray],
-               metrics: Sequence[str]) -> Dict[str, float]:
+               metrics: Sequence[str],
+               vectorized: bool = True) -> Dict[str, float]:
     """Compute the requested metrics over grouped impressions.
 
     Mirrors the reference's dispatch exactly, including the `ndcg@5;10` /
@@ -106,7 +174,40 @@ def cal_metric(labels: Iterable[np.ndarray], preds: Iterable[np.ndarray],
     """
     labels = list(labels)
     preds = list(preds)
-    res: Dict[str, float] = {}
+    if vectorized and labels:
+        want: Dict[str, list] = {}
+        for metric in metrics:
+            if metric == "auc":
+                want["auc"] = []
+            elif metric == "mean_mrr":
+                want["mrr"] = []
+            elif metric.startswith("ndcg") or metric.startswith("hit"):
+                ks = metric.split("@")
+                kind = "ndcg" if metric.startswith("ndcg") else "hit"
+                cur = want.setdefault(kind, [])
+                for k in ([int(t) for t in ks[1].split(";")]
+                          if len(ks) > 1 else [1, 2]):
+                    if k not in cur:
+                        cur.append(k)
+        vec = _grouped_metric_means(labels, preds, want) if want else {}
+        res: Dict[str, float] = {}
+        for metric in metrics:
+            if metric == "auc":
+                res["auc"] = round(vec["auc"], 4)
+            elif metric == "mean_mrr":
+                res["mean_mrr"] = round(vec["mrr"], 4)
+            elif metric.startswith("ndcg") or metric.startswith("hit"):
+                ks = metric.split("@")
+                kind = "ndcg" if metric.startswith("ndcg") else "hit"
+                k_list = ([int(t) for t in ks[1].split(";")]
+                          if len(ks) > 1 else [1, 2])
+                for k in k_list:
+                    res[f"{kind}@{k}"] = round(vec[f"{kind}@{k}"], 4)
+            else:
+                res.update(cal_metric(labels, preds, [metric],
+                                      vectorized=False))
+        return res
+    res = {}
     for metric in metrics:
         if metric == "auc":
             res["auc"] = round(float(np.mean(
