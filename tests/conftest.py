@@ -30,6 +30,9 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     os.environ["XLA_FLAGS"] += (
         " --xla_cpu_collective_call_terminate_timeout_seconds=600"
         " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+        # the communicator-level rendezvous (the symbolized abort path)
+        # reads its own timeout knob
+        " --xla_cpu_collective_timeout_seconds=600"
     )
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
