@@ -37,7 +37,8 @@ def impression_positives(behaviors, j: int) -> Set[int]:
 
 
 def bm25_rank(news_tokens: np.ndarray, behaviors, top_k: int = 100,
-              block_size: int = 512) -> List[np.ndarray]:
+              block_size: int = 512,
+              backend: str = "auto") -> List[np.ndarray]:
     """Sparse retrieval: per-impression top-k news ids by BM25 token votes.
 
     ``news_tokens`` [n_news+1, S] is the split's truncated token cache
@@ -53,6 +54,15 @@ def bm25_rank(news_tokens: np.ndarray, behaviors, top_k: int = 100,
     token→(doc, weight), and scores = M @ P, blocked over impressions.
     score[j, d] = Σ_{t ∈ distinct-tokens(j)} postings[t, d] — identical
     to the scalar formulation.
+
+    ``backend``: 'auto' (native C++/OpenMP kernel when buildable, else
+    scipy), 'native', or 'scipy'. The scipy path materialises a dense
+    [block, n_news] float64 score matrix per block (~200 GB of traffic at
+    MINDlarge-dev shape — 28 min on this host); the native kernel keeps
+    the accumulator sparse per impression and is pinned identical by
+    tests/test_recall.py::test_bm25_rank_native_equals_scipy (both sides
+    accumulate float64 and round(9) before ranking, so summation order
+    cannot flip a tie).
     """
     import scipy.sparse as sp
 
@@ -64,6 +74,15 @@ def bm25_rank(news_tokens: np.ndarray, behaviors, top_k: int = 100,
     inv = construct_inverted_index(toks, bm25, vocab_size=vocab,
                                    top_k=top_k)
     n_news = len(toks)
+
+    if backend in ("auto", "native"):
+        from .native_bm25 import bm25_topk_native
+        ranked = bm25_topk_native(inv, news_tokens, behaviors.his_offsets,
+                                  behaviors.his_flat, top_k)
+        if ranked is not None:
+            return ranked
+        if backend == "native":
+            raise RuntimeError("native bm25 backend unavailable")
 
     # P [vocab, n_news+1]: postings weights (padding doc col = n_news)
     docs = inv[:, :, 0].astype(np.int64).ravel()

@@ -159,7 +159,11 @@ def test_two_process_eval_matches_single(tmp_path):
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
     try:
-        outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+        # generous guard: 49 s unloaded, but XLA:CPU collectives under
+        # host oversubscription legitimately starve for minutes (see
+        # ARCHITECTURE.md suite-stability campaign) — a tight timeout
+        # here turns load spikes into spurious reds
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
     finally:
         # a timed-out / failed run must not leak workers: leftover
         # processes starve the 2-core host and cascade later runs into

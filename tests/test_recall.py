@@ -202,13 +202,16 @@ def test_recall_mode_dense_and_hybrid(recall_cfg, rt):
             <= result["recall@100"])
 
 
-def test_bm25_rank_equals_scalar_formulation():
+@pytest.mark.parametrize("backend", ["scipy", "auto"])
+def test_bm25_rank_equals_scalar_formulation(backend):
     """CLAUDE.md exactness bar for the CSR-matmul vectorization of
     bm25_rank: on a random ragged corpus, the two-sparse-matmul path must
     equal a straightforward per-impression / per-distinct-token scalar
     loop over the same inverted index, including the deterministic tie
     rule (score desc, doc id asc) at every position — a small vocab
-    forces shared tokens and exact score ties (round-2 VERDICT weak 3)."""
+    forces shared tokens and exact score ties (round-2 VERDICT weak 3).
+    Parametrized over backends so the native C++ kernel meets the same
+    bar (on 'auto' it falls back to scipy where g++ is unavailable)."""
     from news_recommendation_mind_tpu.evaluation.recall import bm25_rank
     from news_recommendation_mind_tpu.utils.bm25 import (
         BM25Token, construct_inverted_index,
@@ -237,7 +240,7 @@ def test_bm25_rank_equals_scalar_formulation():
                   labels_flat=np.array([1], np.int32))
 
     for top_k in (3, 7, 100):             # below, at, and above corpus size
-        got = bm25_rank(news_tokens, b, top_k=top_k)
+        got = bm25_rank(news_tokens, b, top_k=top_k, backend=backend)
 
         # straightforward formulation: same inverted index, scalar loops
         toks = [row[row != 0] for row in news_tokens]
@@ -264,4 +267,58 @@ def test_bm25_rank_equals_scalar_formulation():
                             key=lambda d: (-scores[d], d))[:top_k]
             np.testing.assert_array_equal(
                 np.asarray(got[j]), np.asarray(ranked, np.int64),
+                err_msg=f"impression {j} top_k {top_k}")
+
+
+def test_bm25_rank_native_equals_scipy():
+    """Exactness pin for the native C++/OpenMP top-k kernel
+    (native/bm25_topk.cpp) against the scipy CSR formulation on a larger
+    randomized corpus: same inverted index, same round(9) tie rule, so
+    the ranked lists must be bit-identical per impression. Includes
+    empty histories, duplicate history articles, and a pad-article
+    reference in a history (all must retrieve nothing extra)."""
+    from news_recommendation_mind_tpu.evaluation.native_bm25 import (
+        get_library,
+    )
+    from news_recommendation_mind_tpu.evaluation.recall import bm25_rank
+
+    if get_library() is None:
+        pytest.skip("no compiler for the native bm25 kernel")
+
+    rng = np.random.default_rng(23)
+    n_news, vocab_small, S = 300, 40, 12   # dense tie structure
+    news_tokens = np.zeros((n_news + 1, S), np.int32)
+    for d in range(1, n_news + 1):
+        ln = rng.integers(1, S)
+        news_tokens[d, 0] = 101
+        news_tokens[d, 1:1 + ln] = rng.integers(3, vocab_small, ln)
+    n_impr = 200
+    his_l = []
+    for j in range(n_impr):
+        if j == 0:
+            his_l.append(np.zeros(0, np.int32))          # empty history
+        elif j == 1:
+            his_l.append(np.array([0, 0], np.int32))     # pad-article only
+        elif j == 2:
+            his_l.append(np.array([5, 5, 5], np.int32))  # duplicates
+        else:
+            his_l.append(rng.integers(0, n_news + 1,
+                                      rng.integers(1, 40)).astype(np.int32))
+    offs = np.zeros(n_impr + 1, np.int64)
+    np.cumsum([len(x) for x in his_l], out=offs[1:])
+    b = Behaviors(mode="dev", impr_idx=np.arange(n_impr, dtype=np.int64),
+                  uindex=np.zeros(n_impr, np.int32),
+                  his_flat=(np.concatenate(his_l) if offs[-1] else
+                            np.zeros(0, np.int32)),
+                  his_offsets=offs,
+                  cdd_flat=np.array([1], np.int32),
+                  cdd_offsets=np.array([0, 1]),
+                  labels_flat=np.array([1], np.int32))
+    for top_k in (10, 100, 1000):
+        want = bm25_rank(news_tokens, b, top_k=top_k, backend="scipy")
+        got = bm25_rank(news_tokens, b, top_k=top_k, backend="native")
+        assert len(got) == len(want)
+        for j, (g, w) in enumerate(zip(got, want)):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w),
                 err_msg=f"impression {j} top_k {top_k}")
