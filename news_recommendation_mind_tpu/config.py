@@ -268,6 +268,11 @@ def apply_compile_cache(cfg: Config) -> None:
 
     import jax
 
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # an explicit env override wins over the per-config default —
+        # lets a CI host (or the test suite) share one cache across many
+        # configs whose cache_roots differ
+        return
     path = os.path.join(cfg.cache_root, "jax_compile")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -36,9 +36,23 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
     )
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# One persistent compile cache for the WHOLE suite, shared across test
+# files, the two-process workers, and repeated suite runs (the cache dir
+# is stable, unlike per-test tmp cache_roots). Repeat runs skip nearly
+# all XLA:CPU compiles, which both speeds the suite up and shrinks the
+# compile-induced scheduling-starvation windows behind the historical
+# full-suite SIGABRT. apply_compile_cache() respects this env override.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax_test_compile")
+os.makedirs(_CACHE, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

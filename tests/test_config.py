@@ -88,7 +88,7 @@ def test_flag_spelling_forms():
     assert c2.device_gather is True and c2.fused_embedding is False
 
 
-def test_apply_compile_cache_sets_jax_config(tmp_path):
+def test_apply_compile_cache_sets_jax_config(tmp_path, monkeypatch):
     import jax
 
     from news_recommendation_mind_tpu.config import (
@@ -100,11 +100,21 @@ def test_apply_compile_cache_sets_jax_config(tmp_path):
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
+        import os
+
+        # an explicit JAX_COMPILATION_CACHE_DIR env override wins: the
+        # config-derived path must NOT be installed (the suite-wide
+        # shared cache set by tests/conftest.py relies on this)
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/env/wins")
+        before = jax.config.jax_compilation_cache_dir
+        apply_compile_cache(Config(cache_root=str(tmp_path / "e")))
+        assert jax.config.jax_compilation_cache_dir == before
+
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
         cfg = Config(cache_root=str(tmp_path / "c"))
         apply_compile_cache(cfg)
         assert jax.config.jax_compilation_cache_dir == str(
             tmp_path / "c" / "jax_compile")
-        import os
         assert os.path.isdir(jax.config.jax_compilation_cache_dir)
         # opt-out leaves the previous setting untouched
         before = jax.config.jax_compilation_cache_dir

@@ -24,7 +24,8 @@ def base_cfg(tmp_path_factory):
             result_root=os.path.join(tmp, "results"),
             batch_size=16, his_size=6, signal_length=10, hidden_dim=32,
             embedding_dim=32, head_num=4, epochs=1, dtype="float32",
-            interval=1000, device_gather=False)
+            interval=1000, device_gather=False,
+            mesh_shape=(1,))  # mode dispatch, not sharding, under test
         base.update(kw)
         return Config(**base)
     return make

@@ -150,7 +150,14 @@ def test_two_process_eval_matches_single(tmp_path):
         f.write(WORKER)
 
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # replacing XLA_FLAGS would drop conftest's raised collective-
+    # rendezvous timeouts — keep them for the workers' own collectives.
+    # JAX_COMPILATION_CACHE_DIR is inherited via os.environ: both workers
+    # and repeated suite runs share the suite-wide compile cache, which
+    # cuts the dominant (compile) cost of this test after its first run.
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
+                        "--xla_cpu_collective_call_terminate_timeout_seconds=600 "
+                        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=60")
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))

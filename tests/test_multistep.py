@@ -26,7 +26,8 @@ def setup(tmp_path_factory):
                  batch_size=16, his_size=10, signal_length=12,
                  hidden_dim=32, embedding_dim=32, head_num=4, epochs=1,
                  lr=1e-3, dtype="float32", device_gather=False,
-                 interval=1000)
+                 interval=1000,
+                 mesh_shape=(1,))  # K-step fusion semantics, not sharding
     data = build_data(cfg)
     model = build_model(cfg, data.vocab_size, data.user_num)
     return cfg, data, model

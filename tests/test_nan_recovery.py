@@ -19,7 +19,8 @@ def _cfg(tmp, **kw):
                 batch_size=16, his_size=10, signal_length=12,
                 hidden_dim=32, embedding_dim=32, head_num=4, epochs=1,
                 dtype="float32", encoderU="attn", interval=1,
-                device_gather=False)
+                device_gather=False,
+                mesh_shape=(1,))  # recovery logic, not sharding, under test
     base.update(kw)
     return Config(**base)
 

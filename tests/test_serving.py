@@ -22,7 +22,13 @@ def trained(tmp_path_factory):
                  batch_size=16, his_size=10, signal_length=12,
                  hidden_dim=32, embedding_dim=32, head_num=4,
                  epochs=1, lr=1e-3, dtype="float32", encoderU="attn",
-                 interval=1000)
+                 interval=1000,
+                 # serving tests exercise checkpoint->scorer plumbing, not
+                 # sharding (dedicated tests + dryrun cover that); a
+                 # 1-device mesh keeps this long fixture free of XLA:CPU
+                 # in-process collectives (the full-suite SIGABRT path,
+                 # ARCHITECTURE.md "Suite-stability campaign")
+                 mesh_shape=(1,))
     data = build_data(cfg)
     model = build_model(cfg, data.vocab_size, data.user_num)
     loader = build_train_loader(cfg, data)

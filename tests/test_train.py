@@ -32,6 +32,11 @@ def small_config(tmp, **kw):
         embedding_dim=32, head_num=4, npratio=4, epochs=1,
         lr=1e-3, dtype="float32", interval=50, impr_size=2000,
         device_gather=False,  # these tests drive the host-gather path
+        # functional tests run on one device: multi-device semantics are
+        # pinned by test_train_step_sharded_equals_single + sharding tests,
+        # and long 8-virtual-device collective loops are the suite's
+        # SIGABRT exposure (ARCHITECTURE.md suite-stability campaign)
+        mesh_shape=(1,),
     )
     base.update(kw)
     return Config(**base)
