@@ -11,7 +11,7 @@ statistic, which equals `roc_auc_score` for binary labels including ties).
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, Iterable, List, Sequence
+from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
 
@@ -96,6 +96,51 @@ def group_lists(impr_indexes: Sequence[int],
     return [list(d.values()) for d in dicts]
 
 
+def _chunk_metric_sums(L: np.ndarray, S: np.ndarray, lens_rows: np.ndarray,
+                       want: Dict[str, list], acc) -> None:
+    """Accumulate per-impression metric SUMS for one padded chunk.
+
+    L: [m, W] labels (0 on pad), S: [m, W] scores (-inf on pad),
+    lens_rows: [m] true widths. Shared by the list-of-groups and the
+    flat (lengths + concatenated values) entry points so both are the
+    same arithmetic in the same order.
+    """
+    import scipy.stats as ss
+
+    W = L.shape[1]
+    npos = L.sum(axis=1)
+    if "auc" in want:
+        ranks = ss.rankdata(S, method="average", axis=1)
+        npad = (W - lens_rows).astype(np.float64)
+        pos_rank_sum = np.where(L > 0, ranks, 0.0).sum(axis=1) \
+            - npos * npad
+        nneg = lens_rows - npos
+        acc["auc"] += float(np.sum(
+            (pos_rank_sum - npos * (npos + 1) / 2.0)
+            / (npos * nneg)))
+    if "mrr" in want or "ndcg" in want or "hit" in want:
+        order = np.argsort(-S, axis=1, kind="stable")
+        Ls = np.take_along_axis(L, order, axis=1)
+        if "mrr" in want:
+            rr = Ls / (np.arange(W, dtype=np.float64) + 1.0)
+            acc["mrr"] += float(np.sum(rr.sum(axis=1) / npos))
+        if "ndcg" in want:
+            discounts = 1.0 / np.log2(np.arange(W) + 2.0)
+            Lb = -np.sort(-L, axis=1)          # ideal ordering
+            gains = (2.0 ** Ls - 1.0) * discounts
+            best = (2.0 ** Lb - 1.0) * discounts
+            for k in want["ndcg"]:
+                kk = min(W, k)
+                acc[f"ndcg@{k}"] += float(np.sum(
+                    gains[:, :kk].sum(axis=1)
+                    / best[:, :kk].sum(axis=1)))
+        if "hit" in want:
+            for k in want["hit"]:
+                kk = min(W, k)
+                acc[f"hit@{k}"] += float(np.sum(
+                    (Ls[:, :kk] == 1).any(axis=1)))
+
+
 def _grouped_metric_means(labels, preds, want: Dict[str, list],
                           chunk: int = 65536) -> Dict[str, float]:
     """Vectorized per-impression metric means over ragged groups.
@@ -113,8 +158,6 @@ def _grouped_metric_means(labels, preds, want: Dict[str, list],
 
     ``want``: {"auc": [], "mrr": [], "ndcg": [k...], "hit": [k...]}.
     """
-    import scipy.stats as ss
-
     n = len(labels)
     lens = np.fromiter((len(l) for l in labels), np.int64, n)
     row_order = np.argsort(lens, kind="stable")   # width bucketing
@@ -129,38 +172,161 @@ def _grouped_metric_means(labels, preds, want: Dict[str, list],
             k = lens[r]
             L[i, :k] = labels[r]
             S[i, :k] = preds[r]
-        npos = L.sum(axis=1)
-        if "auc" in want:
-            ranks = ss.rankdata(S, method="average", axis=1)
-            npad = (W - lens[rows]).astype(np.float64)
-            pos_rank_sum = np.where(L > 0, ranks, 0.0).sum(axis=1) \
-                - npos * npad
-            nneg = lens[rows] - npos
-            acc["auc"] += float(np.sum(
-                (pos_rank_sum - npos * (npos + 1) / 2.0)
-                / (npos * nneg)))
-        if "mrr" in want or "ndcg" in want or "hit" in want:
-            order = np.argsort(-S, axis=1, kind="stable")
-            Ls = np.take_along_axis(L, order, axis=1)
-            if "mrr" in want:
-                rr = Ls / (np.arange(W, dtype=np.float64) + 1.0)
-                acc["mrr"] += float(np.sum(rr.sum(axis=1) / npos))
-            if "ndcg" in want:
-                discounts = 1.0 / np.log2(np.arange(W) + 2.0)
-                Lb = -np.sort(-L, axis=1)          # ideal ordering
-                gains = (2.0 ** Ls - 1.0) * discounts
-                best = (2.0 ** Lb - 1.0) * discounts
-                for k in want["ndcg"]:
-                    kk = min(W, k)
-                    acc[f"ndcg@{k}"] += float(np.sum(
-                        gains[:, :kk].sum(axis=1)
-                        / best[:, :kk].sum(axis=1)))
-            if "hit" in want:
-                for k in want["hit"]:
-                    kk = min(W, k)
-                    acc[f"hit@{k}"] += float(np.sum(
-                        (Ls[:, :kk] == 1).any(axis=1)))
+        _chunk_metric_sums(L, S, lens_rows=lens[rows], want=want, acc=acc)
     return {key: v / n for key, v in acc.items()}
+
+
+def _segment_gather_indices(starts: np.ndarray,
+                            lens: np.ndarray) -> np.ndarray:
+    """Flat gather indices for variable-length segments.
+
+    Returns idx with ``idx[out_pos] = source position`` such that
+    ``flat[idx]`` lays the segments (starts[i], lens[i]) out back to
+    back in the given row order — the repeat/cumsum trick that replaces
+    per-segment python slicing everywhere in the flat eval pipeline.
+    """
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    out_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.repeat(starts - out_starts, lens) + np.arange(total,
+                                                            dtype=np.int64)
+
+
+def group_flat(impr_indexes: np.ndarray, lengths: np.ndarray,
+               *flats: Optional[np.ndarray]):
+    """Array-native impression grouping (the vectorized group_lists).
+
+    Input: one row per eval chunk — its impression id, its candidate
+    count, and the chunk values concatenated into flat arrays. Output:
+    per-impression lengths ``glens`` (groups in FIRST-SEEN order, the
+    dict order group_lists produces; reference utils/utils.py:60-80) and
+    each flat array re-ordered so every impression's chunks sit
+    contiguously in arrival order. ``None`` flats pass through (the
+    unlabeled test split). Equality with group_lists is pinned by
+    tests/test_metrics.py.
+    """
+    impr = np.asarray(impr_indexes, np.int64)
+    lengths = np.asarray(lengths, np.int64)
+    n = len(impr)
+    if n == 0:
+        return np.zeros(0, np.int64), [
+            None if f is None else np.zeros(0) for f in flats]
+    uniq, first_idx, inv = np.unique(impr, return_index=True,
+                                     return_inverse=True)
+    # np.unique sorts by value; rank groups by first occurrence instead
+    order_groups = np.argsort(first_idx, kind="stable")
+    rank = np.empty(len(uniq), np.int64)
+    rank[order_groups] = np.arange(len(uniq), dtype=np.int64)
+    gid = rank[inv]
+    row_order = np.argsort(gid, kind="stable")  # arrival order kept per gid
+    glens = np.bincount(gid, weights=lengths).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    idx = _segment_gather_indices(starts[row_order], lengths[row_order])
+    return glens, [None if f is None else np.asarray(f)[idx] for f in flats]
+
+
+def _grouped_metric_means_flat(glens: np.ndarray, flat_labels: np.ndarray,
+                               flat_preds: np.ndarray,
+                               want: Dict[str, list],
+                               chunk: int = 65536) -> Dict[str, float]:
+    """_grouped_metric_means on the flat representation — zero
+    per-impression python. Same chunking, same row (width) order, same
+    arithmetic via _chunk_metric_sums, so it is bit-identical to the
+    list path on equal groups (pinned by tests/test_metrics.py)."""
+    flat_labels = np.asarray(flat_labels, np.float64)
+    flat_preds = np.asarray(flat_preds, np.float64)
+    glens = np.asarray(glens, np.int64)
+    n = len(glens)
+    row_order = np.argsort(glens, kind="stable")   # width bucketing
+    starts = np.concatenate([[0], np.cumsum(glens)[:-1]])
+    acc = defaultdict(float)
+    for start in range(0, n, chunk):
+        rows = row_order[start:start + chunk]
+        m = len(rows)
+        lens_rows = glens[rows]
+        W = int(lens_rows.max())
+        idx = _segment_gather_indices(starts[rows], lens_rows)
+        pad_mask = np.arange(W)[None, :] < lens_rows[:, None]
+        L = np.zeros((m, W), np.float64)
+        S = np.full((m, W), -np.inf, np.float64)
+        L[pad_mask] = flat_labels[idx]
+        S[pad_mask] = flat_preds[idx]
+        _chunk_metric_sums(L, S, lens_rows=lens_rows, want=want, acc=acc)
+    return {key: v / n for key, v in acc.items()}
+
+
+def _parse_want(metrics: Sequence[str]) -> Dict[str, list]:
+    """Parse the reference's metric strings (`ndcg@5;10` syntax,
+    utils/Manager.py:1276-1345) into the vectorized-path want dict."""
+    want: Dict[str, list] = {}
+    for metric in metrics:
+        if metric == "auc":
+            want["auc"] = []
+        elif metric == "mean_mrr":
+            want["mrr"] = []
+        elif metric.startswith("ndcg") or metric.startswith("hit"):
+            ks = metric.split("@")
+            kind = "ndcg" if metric.startswith("ndcg") else "hit"
+            cur = want.setdefault(kind, [])
+            for k in ([int(t) for t in ks[1].split(";")]
+                      if len(ks) > 1 else [1, 2]):
+                if k not in cur:
+                    cur.append(k)
+    return want
+
+
+def cal_metric_flat(glens: np.ndarray, flat_labels: Optional[np.ndarray],
+                    flat_preds: np.ndarray,
+                    metrics: Sequence[str]) -> Dict[str, float]:
+    """cal_metric on the flat (group lengths + concatenated values)
+    representation produced by group_flat — the zero-per-impression-
+    python production path. Same dispatch/rounding as cal_metric;
+    equality with the list path is pinned by tests/test_metrics.py."""
+    glens = np.asarray(glens, np.int64)
+    if len(glens) == 0:
+        return {}
+    flat_preds = np.asarray(flat_preds, np.float64)
+    if flat_labels is not None:
+        flat_labels = np.asarray(flat_labels, np.float64)
+    want = _parse_want(metrics)
+    vec = (_grouped_metric_means_flat(glens, flat_labels, flat_preds, want)
+           if want else {})
+    res: Dict[str, float] = {}
+    for metric in metrics:
+        if metric == "auc":
+            res["auc"] = round(vec["auc"], 4)
+        elif metric == "mean_mrr":
+            res["mean_mrr"] = round(vec["mrr"], 4)
+        elif metric.startswith("ndcg") or metric.startswith("hit"):
+            ks = metric.split("@")
+            kind = "ndcg" if metric.startswith("ndcg") else "hit"
+            k_list = ([int(t) for t in ks[1].split(";")]
+                      if len(ks) > 1 else [1, 2])
+            for k in k_list:
+                res[f"{kind}@{k}"] = round(vec[f"{kind}@{k}"], 4)
+        elif metric == "rmse":
+            # flats are already the group-order concatenation the list
+            # path builds, so sums run in the identical order
+            res["rmse"] = float(np.sqrt(round(
+                float(np.mean((flat_labels - flat_preds) ** 2)), 4)))
+        elif metric == "logloss":
+            p = np.clip(flat_preds, 1e-11, 1.0 - 1e-11)
+            ll = -np.mean(flat_labels * np.log(p)
+                          + (1 - flat_labels) * np.log(1 - p))
+            res["logloss"] = round(float(ll), 4)
+        elif metric == "acc":
+            res["acc"] = round(float(np.mean(
+                flat_labels == (flat_preds >= 0.5))), 4)
+        elif metric == "f1":
+            pb = (flat_preds >= 0.5).astype(np.float64)
+            tp = float(np.sum((flat_labels == 1) & (pb == 1)))
+            fp = float(np.sum((flat_labels == 0) & (pb == 1)))
+            fn = float(np.sum((flat_labels == 1) & (pb == 0)))
+            res["f1"] = round(2 * tp / max(2 * tp + fp + fn, 1e-12), 4)
+        else:
+            raise ValueError(f"unknown metric {metric}")
+    return res
 
 
 def cal_metric(labels: Iterable[np.ndarray], preds: Iterable[np.ndarray],
@@ -175,20 +341,7 @@ def cal_metric(labels: Iterable[np.ndarray], preds: Iterable[np.ndarray],
     labels = list(labels)
     preds = list(preds)
     if vectorized and labels:
-        want: Dict[str, list] = {}
-        for metric in metrics:
-            if metric == "auc":
-                want["auc"] = []
-            elif metric == "mean_mrr":
-                want["mrr"] = []
-            elif metric.startswith("ndcg") or metric.startswith("hit"):
-                ks = metric.split("@")
-                kind = "ndcg" if metric.startswith("ndcg") else "hit"
-                cur = want.setdefault(kind, [])
-                for k in ([int(t) for t in ks[1].split(";")]
-                          if len(ks) > 1 else [1, 2]):
-                    if k not in cur:
-                        cur.append(k)
+        want = _parse_want(metrics)
         vec = _grouped_metric_means(labels, preds, want) if want else {}
         res: Dict[str, float] = {}
         for metric in metrics:

@@ -132,3 +132,90 @@ def test_vectorized_cal_metric_equals_scalar_loop():
     fast = cal_metric(labels2, preds2, metrics, vectorized=True)
     slow = cal_metric(labels2, preds2, metrics, vectorized=False)
     assert fast == slow, (fast, slow)
+
+
+def _scalar_collect(batches):
+    """The pre-round-4 per-row python _collect, kept as the oracle."""
+    impr_indexes, labels, preds = [], [], []
+    for impr, lab, score, mask, valid in batches:
+        for i in range(len(valid)):
+            if valid[i] <= 0:
+                continue
+            k = int(mask[i].sum())
+            impr_indexes.append(int(impr[i]))
+            preds.append(score[i, :k].tolist())
+            if lab is not None:
+                labels.append(lab[i, :k].tolist())
+    return impr_indexes, labels, preds
+
+
+def _random_eval_batches(rng, n_batches=7, B=16, W=12, with_labels=True,
+                         n_imprs=40):
+    batches = []
+    for _ in range(n_batches):
+        impr = rng.integers(0, n_imprs, size=B)
+        score = rng.random((B, W)).astype(np.float32)
+        k = rng.integers(1, W + 1, size=B)
+        mask = (np.arange(W)[None, :] < k[:, None]).astype(np.float32)
+        valid = (rng.random(B) > 0.2).astype(np.int32)
+        lab = (rng.random((B, W)) > 0.7).astype(np.int64) \
+            if with_labels else None
+        batches.append((impr, lab, score, mask, valid))
+    return batches
+
+
+def test_collect_and_group_flat_equal_scalar_loop(rng):
+    """CLAUDE.md exactness bar for the round-4 _collect vectorization
+    (round-3 VERDICT weak #4): the array-native collect + group_flat
+    pipeline must reproduce the per-row scalar loop + group_lists
+    bit-for-bit — impressions split across batches, invalid rows, and
+    ragged widths included."""
+    from news_recommendation_mind_tpu.evaluation.engine import _collect
+    from news_recommendation_mind_tpu.evaluation.metrics import (
+        cal_metric, cal_metric_flat, group_flat, group_lists,
+    )
+
+    batches = _random_eval_batches(rng)
+    ref_impr, ref_labels, ref_preds = _scalar_collect(batches)
+    gl_ref, gp_ref = group_lists(ref_impr, ref_labels, ref_preds)
+
+    impr, lengths, fs, fl = _collect(batches)
+    assert impr.tolist() == ref_impr
+    assert lengths.tolist() == [len(p) for p in ref_preds]
+    glens, (gl, gp) = group_flat(impr, lengths, fl, fs)
+    assert glens.tolist() == [len(g) for g in gp_ref]
+    bounds = np.cumsum(glens)[:-1]
+    for got, want in zip(np.split(gp, bounds), gp_ref):
+        np.testing.assert_array_equal(got, np.asarray(want))
+    for got, want in zip(np.split(gl, bounds), gl_ref):
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+    # end-to-end metric equality: flat pipeline == list pipeline, exact
+    # (drop single-class impressions so AUC is defined)
+    keep = [i for i, g in enumerate(gl_ref)
+            if 0 < np.sum(g) < len(g)]
+    gl2 = [gl_ref[i] for i in keep]
+    gp2 = [gp_ref[i] for i in keep]
+    keep_mask = np.zeros(len(glens), bool)
+    keep_mask[keep] = True
+    seg_keep = np.repeat(keep_mask, glens)
+    metrics = ["auc", "mean_mrr", "ndcg@5;10", "hit@3", "logloss",
+               "rmse", "acc", "f1"]
+    flat = cal_metric_flat(glens[keep_mask], gl[seg_keep], gp[seg_keep],
+                           metrics)
+    listy = cal_metric(gl2, gp2, metrics, vectorized=True)
+    assert flat == listy, (flat, listy)
+
+
+def test_collect_no_labels_path(rng):
+    """Unlabeled (test-split) batches: labels stay None end to end."""
+    from news_recommendation_mind_tpu.evaluation.engine import _collect
+    from news_recommendation_mind_tpu.evaluation.metrics import group_flat
+
+    batches = _random_eval_batches(rng, with_labels=False)
+    impr, lengths, fs, fl = _collect(batches)
+    assert fl is None
+    ref_impr, _, ref_preds = _scalar_collect(batches)
+    assert impr.tolist() == ref_impr
+    glens, (gp,) = group_flat(impr, lengths, fs)
+    assert int(glens.sum()) == sum(len(p) for p in ref_preds)
