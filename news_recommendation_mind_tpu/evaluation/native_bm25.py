@@ -10,7 +10,9 @@ tests/test_recall.py::test_bm25_rank_native_equals_scipy.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import tempfile
 from typing import List, Optional
@@ -31,23 +33,56 @@ def _source_path() -> str:
     return os.path.join(here, "native", "bm25_topk.cpp")
 
 
+_CFLAGS = ["-O3", "-march=native", "-fopenmp", "-shared", "-fPIC"]
+
+
+def _cache_dir() -> str:
+    """User-owned cache dir (never the shared world-writable tmp root:
+    another user pre-creating a predictable path there could plant a
+    crafted .so for CDLL to load — round-3 advisor medium finding)."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    path = os.path.join(base, "nrm_tpu_native")
+    os.makedirs(path, exist_ok=True)
+    if hasattr(os, "geteuid") and os.stat(path).st_uid != os.geteuid():
+        # pre-existing dir owned by someone else — refuse to trust it
+        path = tempfile.mkdtemp(prefix="nrm_tpu_native_")
+    return path
+
+
 def _build_library() -> Optional[str]:
     src = _source_path()
     if not os.path.exists(src):
         return None
-    cache_dir = os.path.join(tempfile.gettempdir(), "nrm_tpu_native")
-    os.makedirs(cache_dir, exist_ok=True)
-    lib = os.path.join(cache_dir, "libbm25topk.so")
-    if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
+    cache_dir = _cache_dir()
+    with open(src, "rb") as f:
+        source = f.read()
+    # content+flags+host fingerprint in the name: a source edit, a flag
+    # change, or a different host CPU (-march=native binaries SIGILL
+    # elsewhere) each miss the cache instead of loading a stale binary
+    tag = hashlib.sha256(
+        source + " ".join(_CFLAGS).encode()
+        + (platform.machine() + platform.processor()).encode()
+    ).hexdigest()[:16]
+    lib = os.path.join(cache_dir, f"libbm25topk-{tag}.so")
+    if os.path.exists(lib):
         return lib
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           src, "-o", lib + ".tmp"]
+    # unique scratch name per process: concurrent builders (e.g. the
+    # two-process eval test) never interleave writes into one file; the
+    # publish stays atomic via os.replace
+    tmp = f"{lib}.tmp.{os.getpid()}"
+    cmd = ["g++", *_CFLAGS, src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(lib + ".tmp", lib)
+        os.replace(tmp, lib)
         return lib
     except Exception as e:
         logger.warning("native bm25 build failed (%s); using scipy path", e)
+        try:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        except OSError:
+            pass
         return None
 
 

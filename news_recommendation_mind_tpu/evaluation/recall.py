@@ -60,13 +60,21 @@ def bm25_rank(news_tokens: np.ndarray, behaviors, top_k: int = 100,
     [block, n_news] float64 score matrix per block (~200 GB of traffic at
     MINDlarge-dev shape — 28 min on this host); the native kernel keeps
     the accumulator sparse per impression and is pinned identical by
-    tests/test_recall.py::test_bm25_rank_native_equals_scipy (both sides
-    accumulate float64 and round(9) before ranking, so summation order
-    cannot flip a tie).
+    tests/test_recall.py::test_bm25_rank_native_equals_scipy. Both sides
+    accumulate float64 and round(9) before ranking, which makes a
+    summation-order tie flip require a true score within ~1 ulp
+    (~1e-14) of a 0.5e-9 rounding boundary — a bounded-error argument
+    (empirically pinned by the randomized parity test), not an absolute
+    guarantee.
     """
     import scipy.sparse as sp
 
     from ..utils.bm25 import BM25Token, construct_inverted_index
+
+    if backend not in ("auto", "native", "scipy"):
+        raise ValueError(
+            f"unknown bm25 backend {backend!r}: use 'auto', 'native' "
+            "or 'scipy'")
 
     toks = [row[row != 0] for row in news_tokens]
     bm25 = BM25Token(toks)
@@ -121,7 +129,9 @@ def bm25_rank(news_tokens: np.ndarray, behaviors, top_k: int = 100,
         # loop, so mathematically tied docs can differ by an ulp and flip
         # the tie rule. Rounding far below BM25-score resolution (~1e-6
         # even for a 1e5-doc corpus) and far above accumulated error
-        # (~1e-14) makes the ranking independent of summation order.
+        # (~1e-14) makes an order-dependent rank flip require a true
+        # score within an ulp of a 0.5e-9 rounding boundary — bounded
+        # error, empirically pinned by the randomized parity tests.
         scores = np.round(scores, 9)
         k = min(top_k, n_news - 1)
         part = np.argpartition(-scores, k, axis=1)[:, :k + 1]

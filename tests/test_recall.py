@@ -112,6 +112,11 @@ def test_bm25_rank_returns_only_retrieved_docs():
     assert 0 not in ranked.tolist()
     # only docs sharing a history token (7 → {1,3}; 2 → {1}) are retrieved
     assert set(ranked.tolist()) == {1, 3}
+    # an unrecognized backend raises instead of silently falling through
+    # to scipy (advisor round-3 low: 'navite' typo defeated the explicit
+    # backend='native' error contract)
+    with pytest.raises(ValueError, match="unknown bm25 backend"):
+        bm25_rank(news_tokens, b, top_k=100, backend="navite")
 
 
 def test_recall_eval_invariant_to_impression_chunking(toy_model):
