@@ -144,9 +144,11 @@ def build_model(cfg: Config, vocab_size: int, user_num: int,
                                num_layers=cfg.bert_layers or None)
         if cfg.bert_dim != 768 and cfg.bert_dim != variant.hidden_size:
             # width override (--bert-dim): scale FFN and heads with it
+            # (and re-derive head width from the new hidden size)
             variant = variant.replace(hidden_size=cfg.bert_dim,
                                       intermediate_size=4 * cfg.bert_dim,
-                                      num_heads=cfg.head_num)
+                                      num_heads=cfg.head_num,
+                                      attention_head_size=0)
         user_enc = make_user_encoder(cfg.encoderU,
                                      hidden_dim=variant.hidden_size,
                                      head_num=cfg.head_num,
@@ -163,7 +165,8 @@ def build_model(cfg: Config, vocab_size: int, user_num: int,
         if cfg.bert_dim != 768 and cfg.bert_dim != variant.hidden_size:
             variant = variant.replace(hidden_size=cfg.bert_dim,
                                       intermediate_size=4 * cfg.bert_dim,
-                                      num_heads=cfg.head_num)
+                                      num_heads=cfg.head_num,
+                                      attention_head_size=0)
         news_bert = None
         if cfg.bert == "reformer":
             news_variant = bert_variant("bert", vocab_size=vocab_size,
@@ -234,14 +237,15 @@ def _read_local_state_dict(path: str):
     return {k: v.numpy() for k, v in sd.items()}
 
 
-def find_hf_checkpoint(cfg: Config) -> Optional[str]:
+def find_hf_checkpoint(cfg: Config,
+                       variant: Optional[str] = None) -> Optional[str]:
     """Path of a locally cached HF checkpoint for cfg.bert, if present.
 
     Searched under ``{data_root}/hf/{variant}/`` (drop the files there by
     hand in zero-egress environments) — the file-based counterpart of the
     reference's AutoModel.from_pretrained downloads
     (reference models/PLM.py:21-84)."""
-    base = os.path.join(cfg.data_root, "hf", cfg.bert)
+    base = os.path.join(cfg.data_root, "hf", variant or cfg.bert)
     for name in ("model.safetensors", "pytorch_model.bin"):
         p = os.path.join(base, name)
         if os.path.exists(p):
@@ -267,8 +271,13 @@ _HF_LOADERS = {
     # FFN and embeddings map; Transformer-XL relative/segment terms have
     # no counterpart (documented per-weight in load_hf_funnel_weights)
     "funnel": ("load_hf_funnel_weights", "funnel."),
-    # reformer has no weight-compatible mapping (shared-QK LSH projections
-    # and per-layer structure differ) — trains from init, PARITY.md #29
+    # reformer: structural import — tied-q/k LSH + local-layer
+    # projections, FFN, norms and axial position halves map
+    # shape-exactly (the variant mirrors crime-and-punishment's
+    # 2×64-head / 512-FFN dims); the 2H reversible output norm and (for
+    # the wordpiece pipeline) the 320-entry SentencePiece word table
+    # have no slot — per-weight ledger in load_hf_reformer_weights
+    "reformer": ("load_hf_reformer_weights", "reformer."),
 }
 
 
@@ -295,13 +304,27 @@ def maybe_load_hf_weights(cfg: Config, params, verbose: bool = True):
     tree = flax_unfreeze_params(params)
     n_placed = 0
     for tower in ("bert", "news_bert"):
-        if tower in tree["params"]:
-            n_layers = sum(1 for k in tree["params"][tower]
-                           if k.startswith("layer_"))
-            sub, placed = loader({"params": tree["params"][tower]}, sd,
-                                 num_layers=n_layers, prefix=prefix)
-            tree["params"][tower] = sub["params"]
-            n_placed += placed
+        if tower not in tree["params"]:
+            continue
+        t_loader, t_prefix, t_sd = loader, prefix, sd
+        if tower == "news_bert" and cfg.bert == "reformer":
+            # the reference's XFormer-reformer pairs a RANDOM-init
+            # reformer user tower with a PRETRAINED bert-base news tower
+            # (models/XFormer.py:24-27); the news tower therefore pulls
+            # from the hf/bert checkpoint, not the reformer one
+            bert_path = find_hf_checkpoint(cfg, variant="bert")
+            if bert_path is None:
+                continue
+            t_sd = _read_local_state_dict(bert_path)
+            t_loader = bert_mod.load_hf_bert_weights
+            t_prefix = ("bert." if any(k.startswith("bert.")
+                                       for k in t_sd) else "")
+        n_layers = sum(1 for k in tree["params"][tower]
+                       if k.startswith("layer_"))
+        sub, placed = t_loader({"params": tree["params"][tower]}, t_sd,
+                               num_layers=n_layers, prefix=t_prefix)
+        tree["params"][tower] = sub["params"]
+        n_placed += placed
     import logging
     log = logging.getLogger("news_recommendation_mind_tpu")
     if n_placed == 0:

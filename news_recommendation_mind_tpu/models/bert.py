@@ -65,6 +65,10 @@ class BertVariantConfig:
     num_random_blocks: int = 3        # bigbird random blocks per row-block
     chunk_size: int = 0               # reformer chunk width
     num_buckets: int = 32             # reformer LSH buckets (even)
+    # per-head projection width when it differs from hidden/num_heads
+    # (HF Reformer attention_head_size: crime-and-punishment projects
+    # 256 → 2 heads × 64 = 128); 0 = hidden_size // num_heads
+    attention_head_size: int = 0
     layer_seed: int = 0               # static per-layer seed (LSH/random)
     pool_blocks: int = 0              # funnel: pooling blocks (stride-2)
     # disentangled (DeBERTa) attention: which relative components to add
@@ -133,12 +137,18 @@ _VARIANTS = {
                                  max_length_per_history=21),
     # reformer: alternating chunked-local / LSH layers with shared-QK
     # (google/reformer-crime-and-punishment attn_layers pattern,
-    # reference models/PLM.py:66-78); chunk 64, one look-back/ahead
-    # chunk; axial position embeddings factor the 1280-position table as
-    # (40, 32) rows × (64, 192)-dim halves (the checkpoint's
-    # axial_pos_shape/axial_pos_embds_dim — reference SURVEY §5.7)
+    # reference models/PLM.py:66-78, checkpoint named at
+    # utils/Manager.py:926); chunk 64, one look-back/ahead chunk; the
+    # projection/FFN dims mirror the checkpoint (2 heads × head_size 64
+    # → 128-wide q/k/v, feed_forward_size 512) so its tensors map
+    # shape-exactly in load_hf_reformer_weights; axial position
+    # embeddings factor the 1280-position table as (40, 32) rows ×
+    # (64, 192)-dim halves (HF axial_pos_embds_dim layout — SURVEY §5.7;
+    # (40, 32) is the shape the reference pins for its own from-scratch
+    # XFormer reformer, models/XFormer.py:20-22)
     "reformer": BertVariantConfig(hidden_size=256, num_layers=6,
-                                  num_heads=8, intermediate_size=1024,
+                                  num_heads=2, attention_head_size=64,
+                                  intermediate_size=512,
                                   attention_layers=("chunked", "lsh"),
                                   chunk_size=64, num_buckets=32,
                                   max_position=1280, pad_token_id=2,
@@ -494,7 +504,9 @@ class _SelfAttention(nn.Module):
             probs = nn.softmax(scores, axis=-1)
             return probs @ v
 
-        head_dim = H // c.num_heads
+        head_dim = c.attention_head_size or H // c.num_heads
+        A = head_dim * c.num_heads    # projection width (== H except
+                                      # when attention_head_size is set)
 
         def heads(t):
             return t.reshape(B, t.shape[1], c.num_heads,
@@ -503,21 +515,22 @@ class _SelfAttention(nn.Module):
         if c.attention_type == "lsh":
             # Reformer LSH layer: shared QK (one projection serves both,
             # keys are normalized queries inside lsh_attention)
-            qk = heads(nn.Dense(H, use_bias=False, dtype=self.dtype,
+            qk = heads(nn.Dense(A, use_bias=False, dtype=self.dtype,
                                 name="query_key")(x))
-            v = heads(nn.Dense(H, dtype=self.dtype, name="value")(x))
+            v = heads(nn.Dense(A, dtype=self.dtype, name="value")(x))
             out = lsh_attention(qk, v, attn_mask[:, None, :],
                                 c.chunk_size or 64, c.num_buckets,
                                 seed=c.layer_seed)
-            return out.transpose(0, 2, 1, 3).reshape(B, S, H)
+            return out.transpose(0, 2, 1, 3).reshape(B, S, A)
 
         kv_src = x if kv is None else kv
         key_mask = attn_mask if kv_mask is None else kv_mask
-        q = nn.Dense(H, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(H, dtype=self.dtype, name="key")(kv_src)
-        v = nn.Dense(H, dtype=self.dtype, name="value")(kv_src)
+        q = nn.Dense(A, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(A, dtype=self.dtype, name="key")(kv_src)
+        v = nn.Dense(A, dtype=self.dtype, name="value")(kv_src)
 
-        if c.attention_type == "full" and kv is None and S <= 64:
+        if c.attention_type == "full" and kv is None and S <= 64 \
+                and A == H:
             # short-article regime (the PLM news tower, S=30): the fused
             # Pallas MHSA kernel keeps q/k/v in [B, S, H] layout (no
             # head-split transposes), packs articles into MXU-aligned
@@ -540,7 +553,7 @@ class _SelfAttention(nn.Module):
             # Reformer local layer: chunked attention, look-back/ahead 1
             out = chunked_attention(q, k, v, attn_mask[:, None, :],
                                     c.chunk_size or 64)
-            return out.transpose(0, 2, 1, 3).reshape(B, S, H)
+            return out.transpose(0, 2, 1, 3).reshape(B, S, A)
         if c.attention_type == "bigbird":
             block = c.block_size or 64
             pattern = _bigbird_block_pattern(S, block, c.num_random_blocks,
@@ -1047,6 +1060,94 @@ def load_hf_funnel_weights(params, hf_state_dict, num_layers: int,
         put([fx, "ffn_out", "bias"], hf + "ffn.linear_2.bias")
         put([fx, "ffn_norm", "scale"], hf + "ffn.layer_norm.weight")
         put([fx, "ffn_norm", "bias"], hf + "ffn.layer_norm.bias")
+    return p, placed[0]
+
+
+def load_hf_reformer_weights(params, hf_state_dict, num_layers: int,
+                             prefix: str = ""):
+    """Structural init of the reformer variant from a HuggingFace
+    ReformerModel state_dict (the reference's PLM else-branch loads
+    google/reformer-crime-and-punishment via AutoModel — reference
+    models/PLM.py:80-84, utils/Manager.py:926).
+
+    Mapped, per-weight (layer kind read from the state dict itself —
+    ``query_key`` present ⇒ LSH layer, else local/chunked):
+    - LSH layers: self_attention.query_key → query_key (tied q/k, both
+      encoders share the projection), self_attention.value → value.
+    - Local layers: self_attention.query/key/value → query/key/value
+      (our chunked attention, same local-window semantics).
+    - attention.output.dense → attn_out. HF reformer projections carry
+      NO biases; our zero-initialised biases ARE the no-bias behavior.
+    - feed_forward.dense.dense → ffn_in, feed_forward.output.dense →
+      ffn_out (both with biases).
+    - attention.layer_norm → attn_norm, feed_forward.layer_norm →
+      ffn_norm. HF reformer is PRE-LN (norm on the sublayer input);
+      this encoder is post-LN — the params land in the nearest
+      analogous slot, which makes this a *structural* initialisation
+      like funnel's, not a numerical-parity load.
+    - embeddings.word_embeddings → word_embeddings (the real checkpoint
+      is a 320-entry SentencePiece vocab, so against the wordpiece
+      pipeline this maps only when vocabularies agree — the shape guard
+      skips it otherwise, documented in PARITY.md #29).
+    - embeddings.position_embeddings.weights.0/.1 → axial_pos_0/1 (same
+      [s0,1,d0]/[1,s1,d1] HF layout). A checkpoint with a larger axial
+      grid (crime-and-punishment factors 524288 positions as
+      (512, 1024)) is SLICED to our (40, 32): our position p = i0*32+i1
+      takes the checkpoint's (i0, i1) components — axial-consistent for
+      the shared corner, an init not a parity mapping.
+
+    NOT mapped, per-weight (no counterpart in this encoder):
+    - encoder.layer_norm.{weight,bias} [2H]: the reversible-residual
+      output norm over the CONCATENATED two streams — this encoder keeps
+      one post-LN H-wide stream, so a 2H norm has no slot.
+    (The reversible residual itself holds no weights — every learned
+    reformer tensor is enumerated above.)
+    """
+    import numpy as np
+
+    p, put, placed = _hf_putter(hf_state_dict, params, prefix)
+    put(["word_embeddings", "embedding"], "embeddings.word_embeddings.weight")
+    # axial halves: slice larger checkpoints down to our grid/dims
+    for our_name, hf_key, axis in (
+            ("axial_pos_0", "embeddings.position_embeddings.weights.0", 0),
+            ("axial_pos_1", "embeddings.position_embeddings.weights.1", 1)):
+        key = prefix + hf_key
+        if key in hf_state_dict and our_name in p["params"]:
+            w = np.asarray(hf_state_dict[key])
+            ours = np.asarray(p["params"][our_name])
+            if w.ndim == 3 and w.shape[2] == ours.shape[2] \
+                    and w.shape[axis] >= ours.shape[axis] \
+                    and w.shape[1 - axis] == 1:
+                sl = [slice(None)] * 3
+                sl[axis] = slice(0, ours.shape[axis])
+                p["params"][our_name] = jnp.asarray(w[tuple(sl)])
+                placed[0] += 1
+    for i in range(num_layers):
+        hf = f"encoder.layers.{i}."
+        fx = f"layer_{i}"
+        att = hf + "attention.self_attention."
+        if prefix + att + "query_key.weight" in hf_state_dict:
+            put([fx, "attention", "query_key", "kernel"],
+                att + "query_key.weight", transpose=True)
+        else:
+            put([fx, "attention", "query", "kernel"], att + "query.weight",
+                transpose=True)
+            put([fx, "attention", "key", "kernel"], att + "key.weight",
+                transpose=True)
+        put([fx, "attention", "value", "kernel"], att + "value.weight",
+            transpose=True)
+        put([fx, "attn_out", "kernel"], hf + "attention.output.dense.weight",
+            transpose=True)
+        put([fx, "attn_norm", "scale"], hf + "attention.layer_norm.weight")
+        put([fx, "attn_norm", "bias"], hf + "attention.layer_norm.bias")
+        put([fx, "ffn_in", "kernel"], hf + "feed_forward.dense.dense.weight",
+            transpose=True)
+        put([fx, "ffn_in", "bias"], hf + "feed_forward.dense.dense.bias")
+        put([fx, "ffn_out", "kernel"],
+            hf + "feed_forward.output.dense.weight", transpose=True)
+        put([fx, "ffn_out", "bias"], hf + "feed_forward.output.dense.bias")
+        put([fx, "ffn_norm", "scale"], hf + "feed_forward.layer_norm.weight")
+        put([fx, "ffn_norm", "bias"], hf + "feed_forward.layer_norm.bias")
     return p, placed[0]
 
 

@@ -538,8 +538,75 @@ def test_funnel_structural_import_places_content_weights():
     assert np.isfinite(np.asarray(pooled)).all()
 
 
+def test_reformer_structural_import_places_weights():
+    """Structural reformer init (the reference's PLM else-branch loads
+    google/reformer-crime-and-punishment, models/PLM.py:80-84 +
+    utils/Manager.py:926): tied-q/k LSH projections, local-layer q/k/v,
+    attention output, FFN, norms and the axial position halves must land
+    exactly; the 2H reversible output norm has no slot — see
+    load_hf_reformer_weights for the per-weight ledger."""
+    from news_recommendation_mind_tpu.models.bert import (
+        load_hf_reformer_weights,
+    )
+    HID_R, AHEAD, NHEAD, FFN_R, LAYERS = 64, 16, 2, 96, 4
+    hf_cfg = transformers.ReformerConfig(
+        vocab_size=V, hidden_size=HID_R, attention_head_size=AHEAD,
+        num_attention_heads=NHEAD, feed_forward_size=FFN_R,
+        attn_layers=["local", "lsh", "local", "lsh"],
+        axial_pos_embds=True,
+        # larger s0 grid than ours: the import must SLICE (the real
+        # checkpoint factors 524288 positions as (512, 1024))
+        axial_pos_shape=[16, 8], axial_pos_embds_dim=[16, 48],
+        max_position_embeddings=128, num_buckets=4,
+        local_attn_chunk_length=8, lsh_attn_chunk_length=8,
+        is_decoder=False)
+    torch.manual_seed(0)
+    hf = transformers.ReformerModel(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    variant = bert_variant("reformer", vocab_size=V).replace(
+        hidden_size=HID_R, num_heads=NHEAD, attention_head_size=AHEAD,
+        intermediate_size=FFN_R, num_layers=LAYERS, chunk_size=8,
+        num_buckets=4, max_position=64, axial_pos_shape=(8, 8),
+        axial_pos_dims=(16, 48))
+    model = BertModel(variant)
+    tokens = np.zeros((1, S), np.int32)
+    attn = np.ones((1, S), np.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, attn,
+                        deterministic=True)
+    loaded, placed = load_hf_reformer_weights(params, hf.state_dict(),
+                                              num_layers=LAYERS)
+    # word + 2 axial halves + 2 local layers x 12 + 2 lsh layers x 11
+    assert placed == 3 + 2 * 12 + 2 * 11, placed
+
+    p = loaded["params"]
+    # tied q/k lands in the shared projection, transposed
+    np.testing.assert_array_equal(
+        np.asarray(p["layer_1"]["attention"]["query_key"]["kernel"]),
+        sd["encoder.layers.1.attention.self_attention.query_key.weight"].T)
+    np.testing.assert_array_equal(
+        np.asarray(p["layer_0"]["attention"]["query"]["kernel"]),
+        sd["encoder.layers.0.attention.self_attention.query.weight"].T)
+    # HF reformer projections carry no biases; ours stay at zero init
+    np.testing.assert_array_equal(
+        np.asarray(p["layer_0"]["attention"]["value"]["bias"]), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(p["layer_2"]["attn_out"]["bias"]), 0.0)
+    # axial halves: sliced on the factored axis, same layout
+    np.testing.assert_array_equal(
+        np.asarray(p["axial_pos_0"]),
+        sd["embeddings.position_embeddings.weights.0"][:8])
+    np.testing.assert_array_equal(
+        np.asarray(p["axial_pos_1"]),
+        sd["embeddings.position_embeddings.weights.1"][:, :8])
+    # the loaded encoder must still run (structural init, not parity:
+    # pre-LN params sit in post-LN slots, reversible 2H norm unmapped)
+    hidden, pooled = model.apply(loaded, tokens, attn, deterministic=True)
+    assert np.isfinite(np.asarray(pooled)).all()
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("variant", ["longformer", "bigbird"])
+@pytest.mark.parametrize("variant", ["longformer", "bigbird", "reformer"])
 def test_imported_weights_still_learn(variant, tmp_path):
     """Learning smoke for the import subtleties (round-2 VERDICT weak 6):
     longformer deliberately skips HF's *_global q/k/v and bigbird uses a
@@ -572,6 +639,20 @@ def test_imported_weights_still_learn(variant, tmp_path):
             intermediate_size=4 * HIDB, max_position_embeddings=1028,
             type_vocab_size=1, attention_window=[8] * LB, pad_token_id=1)
         hf = transformers.LongformerModel(hf_cfg).eval()
+    elif variant == "reformer":
+        # dims mirror build_model's bert_dim override: hidden=HIDB,
+        # ffn=4*HIDB, heads=HEADB, head size hidden//heads
+        hf_cfg = transformers.ReformerConfig(
+            vocab_size=data.vocab_size, hidden_size=HIDB,
+            attention_head_size=HIDB // HEADB,
+            num_attention_heads=HEADB, feed_forward_size=4 * HIDB,
+            attn_layers=["local", "lsh"][:LB] * (LB // 2 or 1),
+            axial_pos_embds=True, axial_pos_shape=[40, 32],
+            axial_pos_embds_dim=[HIDB // 4, HIDB - HIDB // 4],
+            max_position_embeddings=1280, num_buckets=32,
+            local_attn_chunk_length=64, lsh_attn_chunk_length=64,
+            is_decoder=False)
+        hf = transformers.ReformerModel(hf_cfg).eval()
     else:
         hf_cfg = transformers.BigBirdConfig(
             vocab_size=data.vocab_size, hidden_size=HIDB,
@@ -596,9 +677,12 @@ def test_imported_weights_still_learn(variant, tmp_path):
     rng = jax.random.PRNGKey(1)
     # overfit one fixed batch: from ln(5) ≈ 1.609, 60 Adam steps must
     # memorize it — a flat loss here would mean the import left part of
-    # the network detached from the gradient path
+    # the network detached from the gradient path. The reformer path
+    # (LSH sort/bucket plumbing) converges more slowly — measured 1.275
+    # @60 → 0.195 @100 — so it gets a longer budget
+    n_steps = 120 if variant == "reformer" else 60
     losses = []
-    for _ in range(60):
+    for _ in range(n_steps):
         state, m = step(state, batch, rng)
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
