@@ -90,6 +90,16 @@ class Trainer:
                                     state_shardings)
             vt = getattr(getattr(model, "embedding", None),
                          "vocab_size", None)
+            if vt is None:
+                # PLM/XFormer expose no `embedding`; their row-shardable
+                # table is the BERT word table — pin the threshold to its
+                # vocab so exactly that table (and its Adam moments)
+                # shards under --model-parallel (SURVEY §2.5's multi-host
+                # PLM row; tests/test_model_parallel.py::
+                # test_trainer_model_parallel_plm)
+                bert = getattr(model, "bert", None)
+                vt = getattr(getattr(bert, "cfg", None), "vocab_size",
+                             None)
             kw = dict(zero1_axis=zero1_axis)
             if vt:
                 kw["vocab_threshold"] = vt

@@ -102,3 +102,76 @@ def evaluate_params(model, params, eval_loader, news_loader, cfg):
     from news_recommendation_mind_tpu.evaluation.engine import evaluate
     return evaluate(model, params, eval_loader, ["auc"],
                     news_loader=news_loader, hidden_dim=cfg.hidden_dim)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_trainer_model_parallel_plm(tmp_path):
+    """--model-parallel for the PLM family (round-3 VERDICT weak #5 /
+    SURVEY §2.5's north-star multi-host PLM row): the Trainer pins the
+    partition threshold to the BERT word table's vocab, so exactly that
+    table (plus its Adam moments) row-shards over the 'model' axis, and
+    the sharded run's losses match a data-parallel-only run of the same
+    init/data."""
+    tmp = str(tmp_path)
+    base = dict(
+        scale="synthetic", model="plm", bert="newsbert", bert_dim=32,
+        bert_layers=2, head_num=4, data_root=os.path.join(tmp, "data"),
+        cache_root=os.path.join(tmp, "cache"),
+        ckpt_root=os.path.join(tmp, "ckpt"),
+        result_root=os.path.join(tmp, "results"),
+        batch_size=16, his_size=6, signal_length=10, hidden_dim=32,
+        epochs=1, dtype="float32", interval=1000, save_step=10 ** 6,
+        device_gather=False)
+    cfg = Config(model_parallel=2, **base)
+    mesh = mesh_from_config(cfg)
+    assert mesh.shape["model"] == 2
+    data = build_data(cfg)
+    model = build_model(cfg, data.vocab_size, data.user_num, mesh=mesh)
+    loader = build_train_loader(cfg, data)
+    news_loader, eval_loader = build_eval_loaders(cfg, data, "dev")
+    trainer = Trainer(cfg, model, loader, news_loader, eval_loader,
+                      mesh=mesh)
+    table = trainer.state.params["params"]["bert"]["word_embeddings"][
+        "embedding"]
+    assert tuple(table.sharding.spec) == ("model", None), \
+        table.sharding.spec
+    # the moments mirror the table's sharding
+    mu_leaf = None
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            trainer.state.opt_state)[0]:
+        names = "/".join(str(getattr(k, "key", getattr(k, "name", k)))
+                         for k in path)
+        if "word_embeddings" in names and "embedding" in names \
+                and getattr(leaf, "ndim", 0) == 2:
+            mu_leaf = leaf
+            break
+    assert mu_leaf is not None
+    assert tuple(mu_leaf.sharding.spec) == ("model", None)
+
+    from news_recommendation_mind_tpu.parallel import shard_batch
+    it = iter(loader)
+    losses_mp = []
+    state = trainer.state
+    for _ in range(3):
+        state, metrics = trainer.train_step(
+            state, shard_batch(next(it), mesh), trainer.rng)
+        losses_mp.append(float(metrics["loss"]))
+    assert np.isfinite(losses_mp).all()
+    trainer.state = state
+    m_eval = trainer.evaluate_now()
+    assert 0.0 <= m_eval["auc"] <= 1.0
+
+    # exactness: same init/data under a dp-only mesh gives the same
+    # losses (sharding must not change the math, only the layout)
+    cfg_dp = Config(model_parallel=1, mesh_shape=(1,), **base)
+    model_dp = build_model(cfg_dp, data.vocab_size, data.user_num)
+    loader_dp = build_train_loader(cfg_dp, data)
+    t_dp = Trainer(cfg_dp, model_dp, loader_dp)
+    it = iter(loader_dp)
+    state_dp = t_dp.state
+    for i in range(3):
+        state_dp, metrics_dp = t_dp.train_step(
+            state_dp, next(it), t_dp.rng)
+        np.testing.assert_allclose(losses_mp[i],
+                                   float(metrics_dp["loss"]), rtol=2e-4)
