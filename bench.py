@@ -128,6 +128,61 @@ def bench_newsbert(jax, mesh) -> float:
     return BS * N / (time.perf_counter() - t0)
 
 
+def bench_xformer(jax, mesh) -> float:
+    """XFormer (longformer, S=1024) train-step throughput — the
+    long-context family (reference models/XFormer.py:78-99; window-32
+    local+global attention via the fused Pallas banded kernel,
+    ops/pallas_attention.py). bs=32, his 50×30 tokens concatenated to one
+    1024-token user pass + 5 candidate passes, bf16. Returns examples/s.
+    Round-1 anchor: 132 ex/s at identical shapes (BASELINE.md)."""
+    import jax.numpy as jnp
+
+    from news_recommendation_mind_tpu.models.bert import (
+        BertModel, bert_variant,
+    )
+    from news_recommendation_mind_tpu.models.xformer import XFormer
+    from news_recommendation_mind_tpu.train import (
+        create_train_state, make_fused_optimizer, make_train_step,
+    )
+
+    BS, CDD = 32, NPRATIO + 1
+    variant = bert_variant("longformer", vocab_size=VOCAB,
+                           signal_length=SIGNAL_LENGTH)
+    model = XFormer(bert=BertModel(variant, dtype=jnp.bfloat16),
+                    hidden_dim=variant.hidden_size,
+                    max_length=variant.max_length,
+                    max_length_per_history=variant.max_length_per_history)
+    rng = np.random.default_rng(0)
+    batch = {
+        "cdd_token": rng.integers(
+            1, VOCAB, (BS, CDD, SIGNAL_LENGTH)).astype(np.int32),
+        "cdd_attn": np.ones((BS, CDD, SIGNAL_LENGTH), np.float32),
+        "his_token": rng.integers(
+            1, VOCAB, (BS, HIS_SIZE, SIGNAL_LENGTH)).astype(np.int32),
+        "his_attn": np.ones((BS, HIS_SIZE, SIGNAL_LENGTH), np.float32),
+        "his_mask": np.ones((BS, HIS_SIZE), np.float32),
+        "cdd_mask": np.ones((BS, CDD), np.float32),
+        "label": np.zeros(BS, np.int32),
+        "user_id": rng.integers(0, 1000, BS).astype(np.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, False)
+    opt = make_fused_optimizer(1e-4, 6e-6)
+    state = create_train_state(params, opt)
+    step = make_train_step(model, opt, mesh=mesh, donate=True)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        state, metrics = step(state, batch, key)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    N = 10
+    for _ in range(N):
+        state, metrics = step(state, batch, key)
+    float(metrics["loss"])
+    return BS * N / (time.perf_counter() - t0)
+
+
 def main() -> None:
     import os
 
@@ -214,6 +269,7 @@ def main() -> None:
     vs = (per_chip / BASELINE_EXAMPLES_PER_S
           if BASELINE_EXAMPLES_PER_S else 1.0)
     nb = bench_newsbert(jax, mesh) / n_chips
+    xf = bench_xformer(jax, mesh) / n_chips
     print(json.dumps({
         "metric": "train_examples_per_s_per_chip",
         "value": round(per_chip, 1),
@@ -223,6 +279,10 @@ def main() -> None:
         # 136 ms/step = 941 ex/s/chip at the same shapes)
         "newsbert_examples_per_s_per_chip": round(nb, 1),
         "newsbert_vs_r2": round(nb / 941.0, 3),
+        # the long-context family, tracked since round 4 (round-1
+        # anchor: 132 ex/s at the same S=1024 longformer shapes)
+        "xformer_examples_per_s_per_chip": round(xf, 1),
+        "xformer_vs_r1": round(xf / 132.0, 3),
     }))
 
 
