@@ -615,21 +615,29 @@ class _SelfAttention(nn.Module):
 
 
 class _ResidualNorm(nn.Module):
-    """``LayerNorm(x + res)`` with the same param tree as nn.LayerNorm
-    (scale/bias, f32) — the 2-D stream's layers use the fused Pallas
-    residual+LN kernel on TPU (ops/pallas_ln.py; XLA's LN fusions run at
-    ~90 GB/s on the v5e, the kernel at the streaming rate)."""
+    """``LayerNorm(x + dropout(res))`` with the same param tree as
+    nn.LayerNorm (scale/bias, f32) — the 2-D stream's layers use the
+    fused Pallas residual+LN kernel on TPU (ops/pallas_ln.py; XLA's LN
+    fusions run at ~90 GB/s on the v5e, the kernel at the streaming
+    rate). With ``p_drop`` > 0 the sublayer's hidden dropout runs
+    in-kernel from the hardware PRNG, eliminating the separate
+    nn.Dropout pass over the [N, H] stream."""
     eps: float
     dtype: jnp.dtype = jnp.float32
+    p_drop: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, res: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, res: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
         H = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (H,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (H,), jnp.float32)
         from ..ops.pallas_ln import fused_add_ln
-        return fused_add_ln(x, res, scale, bias, eps=self.eps)
+        p = 0.0 if deterministic else float(self.p_drop)
+        rng = self.make_rng("dropout") if p > 0.0 else None
+        return fused_add_ln(x, res, scale, bias, eps=self.eps,
+                            p_drop=p, dropout_rng=rng)
 
 
 class _Layer(nn.Module):
@@ -658,19 +666,24 @@ class _Layer(nn.Module):
                 x, attn_mask, deterministic, kv=kv, kv_mask=kv_mask,
                 flat_dims=flat_dims)
         attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attn_out")(attn)
-        attn = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(attn)
         if flat_dims is not None:
-            # fused residual+LN on the 2-D stream (same param tree)
-            x = _ResidualNorm(c.eps, self.dtype, name="attn_norm")(x, attn)
+            # fused dropout+residual+LN on the 2-D stream (same param
+            # tree; the sublayer dropout runs in-kernel)
+            x = _ResidualNorm(c.eps, self.dtype, p_drop=c.hidden_dropout,
+                              name="attn_norm")(x, attn, deterministic)
         else:
+            attn = nn.Dropout(c.hidden_dropout,
+                              deterministic=deterministic)(attn)
             x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
                              name="attn_norm")(x + attn)
         ff = nn.gelu(nn.Dense(c.intermediate_size, dtype=self.dtype,
                               name="ffn_in")(x))
         ff = nn.Dense(c.hidden_size, dtype=self.dtype, name="ffn_out")(ff)
-        ff = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(ff)
         if flat_dims is not None:
-            return _ResidualNorm(c.eps, self.dtype, name="ffn_norm")(x, ff)
+            return _ResidualNorm(c.eps, self.dtype,
+                                 p_drop=c.hidden_dropout,
+                                 name="ffn_norm")(x, ff, deterministic)
+        ff = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(ff)
         return nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
                             name="ffn_norm")(x + ff)
 

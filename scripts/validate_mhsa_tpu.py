@@ -117,6 +117,40 @@ def main():
     o2 = np.asarray(kern(q, k, v, p_drop=P_DROP, key=jax.random.PRNGKey(2)))
     assert not np.allclose(o1, o2)
     print("4. seed variation ok")
+
+    # 5. fused dropout+residual+LN (ops/pallas_ln): live-bit validation
+    from news_recommendation_mind_tpu.ops.pallas_ln import (
+        _jnp_reference, _pick_br, fused_add_ln, ln_dropout_keep_bits,
+    )
+    NL, HL, EPS = 512, 256, 1e-12
+    x = jnp.asarray(rng.standard_normal((NL, HL)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((NL, HL)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(HL) * 0.1 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(HL) * 0.1, jnp.float32)
+    key = jax.random.PRNGKey(21)
+    br = _pick_br(NL, HL, 256)
+    seed = jax.lax.bitcast_convert_type(
+        jax.random.bits(key, (1,), jnp.uint32), jnp.int32)
+    keep = np.asarray(ln_dropout_keep_bits(seed, NL // br, br, HL,
+                                           P_DROP)).reshape(NL, HL)
+    rate = keep.mean()
+    assert abs(rate - (1 - P_DROP)) < 0.02, rate
+    dropped = jnp.where(jnp.asarray(keep), res / (1 - P_DROP), 0.0)
+    got = np.asarray(fused_add_ln(x, res, scale, bias, eps=EPS,
+                                  p_drop=P_DROP, dropout_rng=key))
+    want = np.asarray(_jnp_reference(x, dropped, scale, bias, EPS))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    ctl = jnp.asarray(rng.standard_normal((NL, HL)), jnp.float32)
+    gk = jax.grad(lambda a, b: jnp.sum(fused_add_ln(
+        a, b, scale, bias, eps=EPS, p_drop=P_DROP, dropout_rng=key)
+        * ctl), argnums=(0, 1))(x, res)
+    go = jax.grad(lambda a, b: jnp.sum(_jnp_reference(
+        a, jnp.where(jnp.asarray(keep), b / (1 - P_DROP), 0.0),
+        scale, bias, EPS) * ctl), argnums=(0, 1))(x, res)
+    for a, b, n in zip(gk, go, ("x", "res")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)
+    print(f"5. fused LN dropout oracle + grads ok (keep rate {rate:.4f})")
     print("ALL MHSA HARDWARE CHECKS PASSED")
 
 
