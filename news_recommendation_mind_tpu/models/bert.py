@@ -666,26 +666,27 @@ class _Layer(nn.Module):
                 x, attn_mask, deterministic, kv=kv, kv_mask=kv_mask,
                 flat_dims=flat_dims)
         attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attn_out")(attn)
-        if flat_dims is not None:
-            # fused dropout+residual+LN on the 2-D stream (same param
-            # tree; the sublayer dropout runs in-kernel)
-            x = _ResidualNorm(c.eps, self.dtype, p_drop=c.hidden_dropout,
-                              name="attn_norm")(x, attn, deterministic)
-        else:
-            attn = nn.Dropout(c.hidden_dropout,
-                              deterministic=deterministic)(attn)
-            x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
-                             name="attn_norm")(x + attn)
+
+        def res_norm(name, x_in, res):
+            """Fused dropout+residual+LN (same scale/bias param tree as
+            nn.LayerNorm). The kernel consumes [N, H]; 3-D activations
+            ride through free contiguous reshapes — this is how the
+            long-context (XFormer) family reaches the Pallas LN kernels,
+            not just the 2-D short-article stream."""
+            rn = _ResidualNorm(c.eps, self.dtype, p_drop=c.hidden_dropout,
+                               name=name)
+            if x_in.ndim == 2:
+                return rn(x_in, res, deterministic)
+            B2, S2, H2 = x_in.shape
+            out = rn(x_in.reshape(B2 * S2, H2), res.reshape(B2 * S2, H2),
+                     deterministic)
+            return out.reshape(B2, S2, H2)
+
+        x = res_norm("attn_norm", x, attn)
         ff = nn.gelu(nn.Dense(c.intermediate_size, dtype=self.dtype,
                               name="ffn_in")(x))
         ff = nn.Dense(c.hidden_size, dtype=self.dtype, name="ffn_out")(ff)
-        if flat_dims is not None:
-            return _ResidualNorm(c.eps, self.dtype,
-                                 p_drop=c.hidden_dropout,
-                                 name="ffn_norm")(x, ff, deterministic)
-        ff = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(ff)
-        return nn.LayerNorm(epsilon=c.eps, dtype=self.dtype,
-                            name="ffn_norm")(x + ff)
+        return res_norm("ffn_norm", x, ff)
 
 
 class BertModel(nn.Module):
