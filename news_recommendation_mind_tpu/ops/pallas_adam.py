@@ -56,6 +56,24 @@ def adam_leaf_eligible(leaf) -> bool:
     return R % 8 == 0 or R * C * 4 <= (2 << 20)
 
 
+def _pick_block_rows(R: int, block_rows: int = 64) -> int:
+    """Row-block size for a [R, C] leaf: Mosaic requires the sublane
+    dim divisible by 8 OR equal to the full array dim, so a leaf whose
+    rows are not 8-divisible (eligible only via the ≤2 MB whole-leaf
+    rule) must take R itself as the single block — halving down from 64
+    could land on a non-8-divisible divisor (e.g. R=310 → BR=2, a
+    lowering error seen on a real [310, 768] user-embedding leaf).
+
+    ~0.75 MB per widest buffer: 7 live block buffers double-buffered
+    must stay inside the ~16 MB scoped-VMEM budget."""
+    if R % 8:
+        return R
+    BR = min(block_rows, R)
+    while R % BR or BR % 8:
+        BR //= 2
+    return max(BR, 8)
+
+
 def adam_leaf_update(p, mu, nu, g, scalars, *, b1: float, b2: float,
                      eps: float, block_rows: int = 64,
                      interpret: bool = False):
@@ -65,11 +83,7 @@ def adam_leaf_update(p, mu, nu, g, scalars, *, b1: float, b2: float,
     C = shape[-1]
     R = max(p.size // C, 1)
     view = (R, C)
-    # ~0.75 MB per widest buffer: 7 live block buffers double-buffered
-    # must stay inside the ~16 MB scoped-VMEM budget
-    BR = min(block_rows, R)
-    while R % BR:
-        BR //= 2          # R is 8-divisible (eligibility) → terminates
+    BR = _pick_block_rows(R, block_rows)
     grid = (R // BR,)
     spec = pl.BlockSpec((BR, C), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)

@@ -78,3 +78,35 @@ def test_fused_apply_equals_update_path():
         for a, b in zip(jax.tree_util.tree_leaves(pa),
                         jax.tree_util.tree_leaves(pb)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_block_rows_legal_for_every_eligible_shape():
+    """Mosaic requires the row-block divisible by 8 OR equal to the full
+    row count. A [310, 768] user-embedding leaf is eligible via the
+    ≤2 MB whole-leaf rule, but halving 64 down landed on BR=2 — an
+    unconditional TPU lowering error first hit by the round-4 serving
+    benchmark. Every eligible R must now yield a legal block."""
+    from news_recommendation_mind_tpu.ops.pallas_adam import (
+        _pick_block_rows,
+    )
+    for R in (8, 16, 24, 48, 64, 128, 310, 307, 1000, 1024, 30522 // 2):
+        C = 768
+        if not (R % 8 == 0 or R * C * 4 <= (2 << 20)):
+            continue
+        br = _pick_block_rows(R)
+        assert R % br == 0, (R, br)
+        assert br % 8 == 0 or br == R, (R, br)
+
+    # value parity at the exact failing shape (interpret mode)
+    rng = np.random.default_rng(9)
+    R, C = 310, 768
+    p, mu, g = (jnp.asarray(rng.standard_normal((R, C)), jnp.float32)
+                for _ in range(3))
+    nu = jnp.asarray(np.abs(rng.standard_normal((R, C))), jnp.float32)
+    scalars = jnp.asarray([0.9, 0.99, 1e-3], jnp.float32)
+    got = adam_leaf_update(p, mu, nu, g, scalars, b1=0.9, b2=0.999,
+                           eps=1e-8, interpret=True)
+    want = _reference(p, mu, nu, g, 0.9, 0.99, 1e-3)
+    for a, b, name in zip(got, want, ("p", "mu", "nu")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7, err_msg=name)
