@@ -1,8 +1,10 @@
 """Floor ledger for the PLM (newsbert) train step (round-3 VERDICT
-weak #2): trace N steps with jax.profiler, parse the xplane, bucket
-device time by op family, and compare each bucket against its
-first-principles floor (MXU FLOPs at the v5e bf16 peak, HBM bytes at
-the measured ~270 GB/s streaming rate).
+weak #2): trace N steps with jax.profiler, attribute device time with
+xprof's op_profile converter (proper self-time; naive per-event sums
+double-count async spans), and compare against the composite matmul
+FLOP floor at the v5e bf16 peak. The per-bucket floor analysis derived
+from this output lives in BASELINE.md ("round-4 newsbert floor
+ledger").
 
 Shapes match bench.bench_newsbert (bs=128, U=2048 uniques, S=30, H=768,
 4 layers, FFN 3072, bf16, fused kernels + fused Adam).
@@ -14,21 +16,16 @@ from __future__ import annotations
 
 import argparse
 import glob
-import gzip
 import json
 import os
 import sys
 import time
-from collections import defaultdict
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# v5e single-chip peaks (public spec; bandwidth = this repo's measured
-# streaming rate from the round-2/3 microbenchmarks, BASELINE.md)
-PEAK_BF16_TFLOPS = 197.0
-HBM_GBPS = 270.0
+PEAK_BF16_TFLOPS = 197.0   # v5e single-chip public spec
 
 BS, U, S, H, LAYERS, FFN = 128, 2048, 30, 768, 4, 3072
 HIS = 50
@@ -105,74 +102,33 @@ def run_and_trace(trace_dir: str, steps: int = 12):
     return dt, steps
 
 
-def parse_xplane(trace_dir: str):
-    """Sum device-plane event durations by event name → {name: us}."""
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+def op_profile(trace_dir: str, steps: int):
+    """Parse the trace with xprof's op_profile converter (proper
+    self-time attribution; the naive per-event sum double-counts async
+    spans). Returns (device_ms_per_step, mxu_fraction, hbm_fraction,
+    category rows)."""
+    from xprof.convert import raw_to_tool_data as rtd
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     assert paths, f"no xplane under {trace_dir}"
-    path = max(paths, key=os.path.getmtime)
-    with open(path, "rb") as f:
-        space = xplane_pb2.XSpace.FromString(f.read())
-    totals = defaultdict(float)
-    for plane in space.planes:
-        name = plane.name.lower()
-        if "tpu" not in name and "device" not in name:
-            continue
-        if "host" in name or "sparsecore" in name:
-            continue
-        ev_names = dict(plane.event_metadata)
-        for line in plane.lines:
-            ln = line.name.lower()
-            # XLA op lines carry per-op events; skip step/module summary
-            # lines so time is not double counted
-            if ln.startswith("step") or "module" in ln:
-                continue
-            for ev in line.events:
-                meta = ev_names.get(ev.metadata_id)
-                nm = meta.name if meta else str(ev.metadata_id)
-                totals[nm] += ev.duration_ps / 1e6  # ps → us
-    return totals
-
-
-BUCKETS = (
-    ("pallas_mhsa", ("mhsa",)),
-    ("pallas_ln_dropout", ("add_ln", "_ln_", "ln_fwd", "ln_bwd")),
-    ("pallas_adam", ("adam",)),
-    ("pallas_lstm", ("lstm",)),
-    ("weight_grad_matmul", ()),         # filled by dot classification
-    ("fwd_dgrad_matmul", ()),
-    ("embedding_gather_scatter", ("gather", "scatter", "dynamic")),
-    ("elementwise_fusions", ("fusion", "select", "convert", "copy",
-                             "transpose", "broadcast", "reduce",
-                             "bitcast")),
-    ("other", ()),
-)
-
-
-def classify(name: str) -> str:
-    n = name.lower()
-    for key in ("mhsa",):
-        if key in n:
-            return "pallas_mhsa"
-    if "add_ln" in n or "tpu_custom_call" in n and "ln" in n:
-        return "pallas_ln_dropout"
-    if "adam" in n:
-        return "pallas_adam"
-    if "custom-call" in n or "custom_call" in n:
-        return "pallas_other"
-    if n.startswith("%dot") or ".dot" in n or n.startswith("dot"):
-        # weight grads contract over the token axis (61440) → their
-        # output is [H, H] / [H, FFN]; XLA names don't expose shapes
-        # here, so dots are split later by metadata when available
-        return "dot"
-    if any(k in n for k in ("gather", "scatter", "dynamic-update")):
-        return "embedding_gather_scatter"
-    if any(k in n for k in ("fusion", "select", "convert", "copy",
-                            "transpose", "broadcast", "reduce",
-                            "bitcast", "add", "multiply")):
-        return "elementwise_fusions"
-    return "other"
+    # newest session only — passing several sessions' xplanes at once
+    # makes the converter bail (returns None)
+    paths = [max(paths, key=os.path.getmtime)]
+    out, _ = rtd.xspace_to_tool_data(paths, "op_profile", {})
+    assert out is not None, "op_profile conversion failed"
+    data = json.loads(out.decode())
+    prog = data["byProgramExcludeIdle"]["children"][0]
+    total_ps = prog["metrics"]["rawTime"]
+    rows = []
+    for cat in prog["children"]:
+        m = cat["metrics"]
+        subs = [(c["metrics"]["rawTime"] / 1e9 / steps, c["name"])
+                for c in sorted(cat.get("children", []),
+                                key=lambda c: -c["metrics"]["rawTime"])[:4]]
+        rows.append((m["rawTime"] / 1e9 / steps, cat["name"], subs))
+    rows.sort(reverse=True)
+    return (total_ps / 1e9 / steps, prog["metrics"]["flops"],
+            prog["metrics"]["bandwidthUtils"][0], rows)
 
 
 def main():
@@ -182,46 +138,27 @@ def main():
     args = ap.parse_args()
     step_ms, steps = run_and_trace(args.trace_dir, args.steps)
 
-    totals = parse_xplane(args.trace_dir)
-    buckets = defaultdict(float)
-    top = sorted(totals.items(), key=lambda kv: -kv[1])[:40]
-    for name, us in totals.items():
-        buckets[classify(name)] += us
-    per_step = {k: round(v / steps / 1e3, 2) for k, v in buckets.items()}
+    dev_ms, mxu, hbm, rows = op_profile(args.trace_dir, args.steps)
+    for ms, name, subs in rows:
+        if ms < 0.05:
+            continue
+        print(json.dumps({"bench": "category_ms_per_step",
+                          "category": name, "ms": round(ms, 2),
+                          "top": [[n[:60], round(m, 2)]
+                                  for m, n in subs[:3]]}), flush=True)
 
     # ---- first-principles floors (ms/step) ----
     tokens = U * S
     mm_macs_tok = 4 * H * H + 2 * H * FFN          # qkv+out + ffn
     fwd_flops = tokens * mm_macs_tok * 2 * LAYERS
-    floors = {
-        "fwd_matmul": fwd_flops / (PEAK_BF16_TFLOPS * 1e9),
-        "dgrad_matmul": fwd_flops / (PEAK_BF16_TFLOPS * 1e9),
-        "wgrad_matmul": fwd_flops / (PEAK_BF16_TFLOPS * 1e9),
-        # LN family HBM bytes: 2 LN/layer, fwd reads x+res writes y
-        # (3 streams), bwd reads dy,x,res writes dx,dres (5) → 8 × bf16
-        "ln_dropout_hbm": (tokens * H * 2 * 8 * 2 * LAYERS
-                           / (HBM_GBPS * 1e6)),
-        # Adam: 7 f32 streams over ~52.8M params
-        "adam_hbm": 52.8e6 * 4 * 7 / (HBM_GBPS * 1e6),
-    }
-    print(json.dumps({"bench": "buckets_ms_per_step", **per_step}),
-          flush=True)
-    print(json.dumps({"bench": "floors_ms", **{k: round(v, 2)
-                      for k, v in floors.items()}}), flush=True)
-    print(json.dumps({"bench": "top_ops_us_per_step", "ops": [
-        [n[:90], round(us / steps, 1)] for n, us in top[:25]]}),
-          flush=True)
+    matmul_floor = 3 * fwd_flops / (PEAK_BF16_TFLOPS * 1e9)  # fwd+dgrad+wgrad
     print(json.dumps({
         "bench": "summary",
-        "step_ms": round(step_ms, 1),
-        "device_total_ms": round(sum(buckets.values()) / steps / 1e3, 1),
-        "matmul_floor_ms": round(floors["fwd_matmul"]
-                                 + floors["dgrad_matmul"]
-                                 + floors["wgrad_matmul"], 1),
-        "mxu_pct_of_step": round(100 * (floors["fwd_matmul"]
-                                        + floors["dgrad_matmul"]
-                                        + floors["wgrad_matmul"])
-                                 / step_ms, 1)}), flush=True)
+        "traced_step_wall_ms": round(step_ms, 1),
+        "device_busy_ms_per_step": round(dev_ms, 1),
+        "mxu_flops_fraction": round(mxu, 3),
+        "hbm_bw_fraction": round(hbm, 3),
+        "matmul_flop_floor_ms": round(matmul_floor, 1)}), flush=True)
 
 
 if __name__ == "__main__":
