@@ -18,7 +18,12 @@ import numpy as np
 import pytest
 
 WORKER = r"""
-import json, os, sys
+import faulthandler, json, os, sys
+# self-diagnosing hang guard: if any phase wedges (e.g. a mismatched
+# collective), dump every thread's python stack and exit so the parent
+# test fails fast WITH the stacks in its captured output, instead of
+# timing out blind
+faulthandler.dump_traceback_later(900, exit=True)
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=sys.argv[1],
@@ -34,7 +39,15 @@ root = sys.argv[3]
 cfg = Config(scale="synthetic", data_root=os.path.join(root, "data"),
              cache_root=os.path.join(root, "cache"), batch_size=8,
              his_size=10, signal_length=12, hidden_dim=32,
-             embedding_dim=32, head_num=4, dtype="float32", seed=7)
+             embedding_dim=32, head_num=4, dtype="float32", seed=7,
+             # NO persistent compile cache in multi-process CPU workers:
+             # the two workers share cache_root, and one worker loading
+             # the other's freshly written XLA:CPU AOT entry wedges both
+             # in the AOT loader's machine-feature path (futex-parked at
+             # ~2-3% CPU; the round-3 "ran past 15 minutes standalone"
+             # flake). TPU-backend caches serialize differently and are
+             # unaffected — this is an XLA:CPU AOT quirk.
+             compile_cache=False)
 pidx = jax.process_index()
 data = build_data(cfg, process_index=pidx)
 model = build_model(cfg, data.vocab_size, data.user_num)
@@ -135,6 +148,7 @@ for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(trainer.state)),
         "best.ckpt != final state"
 print("process", pidx, "trainer best-save ok auc", final["auc"])
 print("process", pidx, "done", metrics)
+faulthandler.cancel_dump_traceback_later()
 """
 
 
@@ -152,13 +166,19 @@ def test_two_process_eval_matches_single(tmp_path):
     env = dict(os.environ)
     # replacing XLA_FLAGS would drop conftest's raised collective-
     # rendezvous timeouts — keep them for the workers' own collectives.
-    # JAX_COMPILATION_CACHE_DIR is inherited via os.environ: both workers
-    # and repeated suite runs share the suite-wide compile cache, which
-    # cuts the dominant (compile) cost of this test after its first run.
     env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
                         "--xla_cpu_collective_call_terminate_timeout_seconds=600 "
                         "--xla_cpu_collective_call_warn_stuck_timeout_seconds=60")
     env.pop("JAX_PLATFORMS", None)
+    # the workers must NOT inherit the suite-wide persistent compile
+    # cache: XLA:CPU AOT cache entries record pseudo machine features
+    # (+prefer-no-gather/+prefer-no-scatter) that the loader compares
+    # against detected host features, and under jax.distributed the
+    # mismatch-path load left both workers futex-parked at ~2% CPU
+    # (observed 2/2 once the cache was warm; fresh compiles never hang).
+    # Workers therefore always compile fresh — ~1 min of compile per
+    # run, which the 2400 s hang guard comfortably covers.
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
     procs = [subprocess.Popen(
