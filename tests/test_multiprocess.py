@@ -131,8 +131,15 @@ print("process", pidx, "checkpoint roundtrip ok")
 # old code returned {} off process 0 from evaluate(), so only process 0
 # entered save_checkpoint(best=True) and its gather/barrier hung.
 from news_recommendation_mind_tpu.train import Trainer, load_checkpoint
+# step_budget bounds the sharded-step loop: the regression under test
+# (symmetric best-save collectives) needs a few steps + one eval, not a
+# full epoch — and every cross-process psum on this XLA:CPU+Gloo stack
+# is exposure to an intermittent rendezvous wedge below JAX (observed
+# via the faulthandler dump parked at train/loop.py's step call after
+# ~150 sharded steps; never in the short phases)
 cfg2 = cfg.replace(ckpt_root=os.path.join(root, "ckpt_trainer"),
-                   epochs=1, device_gather=True, interval=1000)
+                   epochs=1, device_gather=True, interval=1000,
+                   step_budget=8)
 tl2 = build_train_loader(cfg2, data, num_shards=2, shard_index=pidx)
 nl2, el2 = build_eval_loaders(cfg2, data, "dev", num_shards=2,
                               shard_index=pidx)
@@ -201,7 +208,10 @@ def test_two_process_eval_matches_single(tmp_path):
             if p.poll() is None:
                 p.kill()
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-3000:]
+        # show BOTH workers on failure — a collective wedge is only
+        # diagnosable from where EACH process was parked
+        assert p.returncode == 0, "\n=== worker outputs ===\n".join(
+            o[-3000:] for o in outs)
     with open(os.path.join(root, "metrics.json")) as f:
         dist_metrics = json.load(f)
 
