@@ -1,25 +1,14 @@
 #!/usr/bin/env bash
-# CI entry point for the test suite, with the retry-once policy from
-# ARCHITECTURE.md "Suite-stability campaign": a rare (~1/7 full-suite)
-# SIGABRT below JAX hard-aborts the interpreter (rc >= 2 / signal exit)
-# without affecting any completed test's result, so one retry on an
-# abort-style exit is sound. Genuine test FAILURES exit rc=1 and are
-# never retried. Delete the retry when the native abort is fixed.
+# CI entry point for the test suite. The retry-once abort policy is
+# GONE: the historical native SIGABRT exposure was removed structurally
+# in round 4 (long functional fixtures run 1-device meshes; the
+# XLA:CPU AOT cache-load wedge and the Gloo collective-loop wedge in
+# the two-process test were root-caused and closed — see
+# ARCHITECTURE.md "Suite-stability campaign"). Validated by 10
+# consecutive full-suite greens on this host, 2026-08-21
+# (226 passed each, 647-735 s, zero retries).
 #
 # Usage: scripts/run_tests.sh [extra pytest args]
 set -u
 cd "$(dirname "$0")/.."
-
-run() {
-  python -m pytest tests/ -x -q "$@"
-}
-
-run "$@"
-rc=$?
-if [ "$rc" -ge 2 ]; then
-  echo "=== suite aborted with rc=$rc (interpreter crash, not a test" \
-       "failure); retrying once per ARCHITECTURE.md policy ===" >&2
-  run "$@"
-  rc=$?
-fi
-exit $rc
+exec python -m pytest tests/ -x -q "$@"
