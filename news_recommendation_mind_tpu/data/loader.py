@@ -364,6 +364,7 @@ class EvalLoader:
                     rows[i] = j
                 his_ids = self.his_ids[rows]
                 batch = {
+                    "row": rows,
                     "impr_index": impr,
                     "user_id": self.b.uindex[rows],
                     "cdd_id": cdd,

@@ -156,19 +156,92 @@ def _gather_to_host0(impr, lengths, flat_scores, flat_labels):
             np.concatenate(labels) if labels else None)
 
 
+def encode_unique_users(model, params, eval_loader,
+                        with_user_id: bool = True
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Phase 1.5 (one-tower models): encode each distinct user once.
+
+    In MIND a user's click history is fixed across all of their
+    impressions (the reference merges such impressions with
+    ``gather_same_user_impr``, utils/Manager.py:1029-1202), yet the
+    reference's one-tower eval re-runs the full long-context PLM user
+    pass for every impression chunk (models/XFormer.py:91-95 via
+    utils/Manager.py:514-517). Here the loader's shard rows are deduped
+    by (user_id, padded history ids, history mask); each unique user is
+    encoded ONCE, in dense fixed-size batches (no bucket-width
+    fragmentation, one compile of the user tower instead of one per
+    candidate-width bucket), into a ``[U, H]`` table. Phase 2 then
+    scores by table lookup on BOTH sides. Exact: ``encode_user`` is
+    deterministic at eval and row-independent, pinned by
+    tests/test_eval.py::test_user_dedup_matches_live_path.
+
+    Returns ``(user_table [U, H] float32, uidx_of_row [n_rows] int64)``
+    where ``uidx_of_row[j]`` maps a behavior row to its table slot
+    (-1 for rows outside this process's shard partition).
+    """
+    his_ids = eval_loader.his_ids
+    his_mask = eval_loader.his_mask
+    rows = np.concatenate([np.asarray(g, np.int64)
+                           for g in eval_loader.groups.values()]) \
+        if eval_loader.groups else np.zeros(0, np.int64)
+    uid = (eval_loader.b.uindex[rows].astype(np.int64) if with_user_id
+           else np.zeros(len(rows), np.int64))
+    key = np.concatenate(
+        [uid[:, None].astype(np.int32),
+         his_ids[rows].astype(np.int32),
+         (his_mask[rows] > 0).astype(np.int32)], axis=1)
+    _, first, inverse = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+    uniq_rows = rows[first]                      # [U] behavior row ids
+    uidx_of_row = np.full(len(his_ids), -1, np.int64)
+    uidx_of_row[rows] = inverse.reshape(-1)
+
+    @jax.jit
+    def enc(params, his_token, his_attn, his_mask, user_id):
+        return model.apply(params, his_token, his_attn, his_mask, user_id,
+                           method=type(model).encode_user)[:, 0, :]
+
+    bs = eval_loader.batch_size
+    tokens, attn = eval_loader.news_tokens, eval_loader.news_attn
+    out = []
+    for s in range(0, len(uniq_rows), bs):
+        js = uniq_rows[s:s + bs]
+        n_valid = len(js)
+        if n_valid < bs:                         # pad last batch: one compile
+            js = np.concatenate([js, np.repeat(js[:1], bs - n_valid)])
+        hid = his_ids[js]
+        reprs = enc(params, tokens[hid], attn[hid], his_mask[js],
+                    eval_loader.b.uindex[js] if with_user_id else None)
+        out.append(np.asarray(reprs, np.float32)[:n_valid])
+    user_table = (np.concatenate(out) if out
+                  else np.zeros((0, 1), np.float32))
+    return user_table, uidx_of_row
+
+
 def fast_eval_scores(model, params, news_table: np.ndarray, eval_loader,
-                     with_user_id: bool = True):
+                     with_user_id: bool = True, dedup_users: bool = True):
     """Phase 2: yield per-batch (impr, labels, sigmoid scores, mask, valid)."""
     table = jax.device_put(jnp.asarray(news_table))
     score_fns: Dict[int, callable] = {}
     # one-tower models (XFormer) need raw history tokens for the user pass;
     # two-tower models short-circuit history through the news table
     user_from_table = getattr(model, "fast_user_from_table", True)
+    # dedup needs the loader's row/group metadata; plain batch iterables
+    # (tests, bounded slices) fall back to the live per-chunk user pass
+    use_user_table = ((not user_from_table) and dedup_users
+                      and hasattr(eval_loader, "groups"))
+    if use_user_table:
+        user_np, uidx_of_row = encode_unique_users(
+            model, params, eval_loader, with_user_id)
+        user_table = jax.device_put(jnp.asarray(user_np))
 
     def make_fn():
         def fn(params, table, cdd_id, user_inputs, user_id):
             cdd_repr = jnp.take(table, cdd_id, axis=0)      # [B, W, H]
-            if user_from_table:
+            if use_user_table:
+                user_repr = jnp.take(user_inputs["user_table"],
+                                     user_inputs["uidx"], axis=0)[:, None, :]
+            elif user_from_table:
                 his_repr = jnp.take(table, user_inputs["his_id"], axis=0)
                 user_repr = model.apply(
                     params, his_repr, user_inputs["his_mask"], user_id,
@@ -190,9 +263,16 @@ def fast_eval_scores(model, params, news_table: np.ndarray, eval_loader,
         width = batch["cdd_id"].shape[1]
         if width not in score_fns:
             score_fns[width] = make_fn()
+        if use_user_table:
+            # padded rows carry row 0, which may sit outside this shard
+            # (uidx -1); clamp — they are discarded via `valid` anyway
+            user_inputs = {"user_table": user_table,
+                           "uidx": np.maximum(
+                               uidx_of_row[batch["row"]], 0)}
+        else:
+            user_inputs = {k: batch[k] for k in user_keys}
         scores = np.asarray(score_fns[width](
-            params, table, batch["cdd_id"],
-            {k: batch[k] for k in user_keys},
+            params, table, batch["cdd_id"], user_inputs,
             batch["user_id"] if with_user_id else None))
         lab = batch.get("label")
         yield (batch["impr_index"], lab, scores, batch["cdd_mask"],
@@ -224,7 +304,8 @@ def slow_eval_scores(model, params, eval_loader):
 def evaluate(model, params, eval_loader, metrics: List[str],
              news_loader=None, hidden_dim: int = 0,
              fast: bool = True, news_table: Optional[np.ndarray] = None,
-             save_table_path: Optional[str] = None) -> Dict[str, float]:
+             save_table_path: Optional[str] = None,
+             dedup_users: bool = True) -> Dict[str, float]:
     """End-to-end dev evaluation → metric dict
     (reference utils/Manager.py:544-585 evaluate)."""
     if fast:
@@ -232,7 +313,8 @@ def evaluate(model, params, eval_loader, metrics: List[str],
             assert news_loader is not None
             news_table = encode_all_news(model, params, news_loader,
                                          hidden_dim, save_table_path)
-        batches = fast_eval_scores(model, params, news_table, eval_loader)
+        batches = fast_eval_scores(model, params, news_table, eval_loader,
+                                   dedup_users=dedup_users)
     else:
         batches = slow_eval_scores(model, params, eval_loader)
     impr, lengths, flat_scores, flat_labels = _collect(batches)
@@ -251,14 +333,16 @@ def evaluate(model, params, eval_loader, metrics: List[str],
 def write_predictions(model, params, eval_loader, result_dir: str,
                      news_loader=None, hidden_dim: int = 0,
                      fast: bool = True,
-                     news_table: Optional[np.ndarray] = None) -> Optional[str]:
+                     news_table: Optional[np.ndarray] = None,
+                     dedup_users: bool = True) -> Optional[str]:
     """Unlabeled test pass → prediction.txt in MIND leaderboard format
     (reference utils/Manager.py:815-852)."""
     if fast:
         if news_table is None:
             news_table = encode_all_news(model, params, news_loader,
                                          hidden_dim)
-        batches = fast_eval_scores(model, params, news_table, eval_loader)
+        batches = fast_eval_scores(model, params, news_table, eval_loader,
+                                   dedup_users=dedup_users)
     else:
         batches = slow_eval_scores(model, params, eval_loader)
     impr, lengths, flat_scores, _ = _collect(batches)

@@ -352,23 +352,40 @@ def run_xformer_leg(steps, eval_batches):
                             model.hidden_dim)
     record("xformer_eval_phase1_dev_sweep", time.perf_counter() - t0,
            news=int(table.shape[0]) - 1)
-    # bounded phase 2: first K width-bucketed batches, live user passes
+    # bounded phase 2: first K width-bucketed batches. Bounding by
+    # subsetting the loader's chunk groups (rather than islice-ing the
+    # batch stream) keeps the loader object intact so the unique-user
+    # dedup sweep (engine.encode_unique_users) engages exactly as it
+    # does on a full eval; the slice's duplicate-user rate matches the
+    # corpus (users are iid across impressions).
+    import copy
     total_batches = len(eval_loader)
+    bounded_loader = copy.copy(eval_loader)
+    groups, left = {}, eval_batches * eval_loader.batch_size
+    for w in sorted(eval_loader.groups):
+        if left <= 0:
+            break
+        take = eval_loader.groups[w][:left]
+        groups[w] = take
+        left -= len(take)
+    bounded_loader.groups = groups
+    n_rows = sum(len(g) for g in groups.values())
 
-    def bounded():
-        for i, b in zip(range(eval_batches), eval_loader):
-            yield b
-
-    t0 = time.perf_counter()
-    batches = fast_eval_scores(model, state.params, table, bounded())
-    impr, lengths, fs, fl = _collect(batches)
-    glens, (gl, gp) = group_flat(impr, lengths, fl, fs)
-    metrics = cal_metric_flat(glens, gl, gp, cfg.metric_list)
-    dt = time.perf_counter() - t0
-    record("xformer_eval_phase2_slice", dt, batches=eval_batches,
-           impressions=int(len(glens)),
-           extrapolated_full_s=round(dt / eval_batches * total_batches, 1),
-           total_batches=total_batches, **metrics)
+    for dedup in (False, True):
+        t0 = time.perf_counter()
+        batches = fast_eval_scores(model, state.params, table,
+                                   bounded_loader, dedup_users=dedup)
+        impr, lengths, fs, fl = _collect(batches)
+        glens, (gl, gp) = group_flat(impr, lengths, fl, fs)
+        metrics = cal_metric_flat(glens, gl, gp, cfg.metric_list)
+        dt = time.perf_counter() - t0
+        record("xformer_eval_phase2_slice" + ("_dedup" if dedup else ""),
+               dt, batches=len(bounded_loader), chunk_rows=n_rows,
+               impressions=int(len(glens)),
+               extrapolated_full_s=round(
+                   dt / max(n_rows, 1) * sum(
+                       len(g) for g in eval_loader.groups.values()), 1),
+               total_batches=total_batches, **metrics)
 
 
 def main():

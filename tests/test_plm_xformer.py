@@ -176,3 +176,51 @@ def test_plm_fast_path_consistency(rng):
                        method=PLM.encode_user_from_reprs)
     np.testing.assert_allclose(np.asarray(live), np.asarray(fast),
                                atol=1e-5)
+
+
+def test_user_dedup_matches_live_path(tmp_path):
+    """One-tower phase-1.5 user dedup == per-chunk live user passes.
+
+    MIND histories are static per user across their impressions, so
+    encoding each unique (user, history) once and looking the repr up
+    must reproduce the live path's scores exactly
+    (engine.encode_unique_users; reference gather_same_user_impr,
+    utils/Manager.py:1029-1202, merges impressions for the same reason).
+    """
+    import os
+    from news_recommendation_mind_tpu.evaluation.engine import (
+        _collect, encode_all_news, encode_unique_users, fast_eval_scores)
+    from news_recommendation_mind_tpu.experiment import (
+        build_data, build_eval_loaders, build_train_loader)
+
+    tmp = str(tmp_path)
+    cfg = _family_cfg(
+        "xformer", "bert",
+        scale="synthetic", data_root=os.path.join(tmp, "data"),
+        cache_root=os.path.join(tmp, "cache"),
+        batch_size=8, device_gather=False, mesh_shape=(1,))
+    data = build_data(cfg)
+    model = build_model(cfg, data.vocab_size, data.user_num)
+    loader = build_train_loader(cfg, data)
+    params = model.init(KEY, next(iter(loader)))
+    news_loader, eval_loader = build_eval_loaders(cfg, data)
+    hidden = getattr(model, "hidden_dim", cfg.hidden_dim)
+    table = encode_all_news(model, params, news_loader, hidden)
+
+    # the synthetic dev split must actually contain duplicate users for
+    # the dedup to be exercised
+    user_table, uidx_of_row = encode_unique_users(model, params,
+                                                  eval_loader)
+    rows = np.concatenate([np.asarray(g) for g in
+                           eval_loader.groups.values()])
+    assert len(user_table) < len(rows), "no duplicate users in fixture"
+    assert np.all(uidx_of_row[rows] >= 0)
+
+    live = _collect(fast_eval_scores(model, params, table, eval_loader,
+                                     dedup_users=False))
+    dedup = _collect(fast_eval_scores(model, params, table, eval_loader,
+                                      dedup_users=True))
+    np.testing.assert_array_equal(live[0], dedup[0])      # impr ids
+    np.testing.assert_array_equal(live[1], dedup[1])      # lengths
+    np.testing.assert_allclose(live[2], dedup[2], atol=1e-6)  # scores
+    np.testing.assert_array_equal(live[3], dedup[3])      # labels
