@@ -547,6 +547,25 @@ class _SelfAttention(nn.Module):
                 return short_mhsa(q, k, v, attn_mask, c.num_heads,
                                   p_drop=p_drop, dropout_rng=rng)
 
+        if (c.attention_type == "local" and c.window > 0 and S > 256
+                and kv is None and A == H):
+            # long-sequence path on UNSPLIT [B, S, H] q/k/v: the
+            # full-width lane-masked banded kernel keeps the natural
+            # layout (no head split/merge transposes — ~24 ms/step of
+            # copies at XFormer bench shapes) and runs (B, H/128) fat
+            # grid cells instead of (B·heads) thin [S, 64] ones
+            # (BASELINE.md round-4 XFormer ledger). Attention dropout is
+            # skipped on the band like the per-head path below.
+            import jax as _jax
+
+            from ..ops.pallas_attention import (
+                banded_mhsa, banded_mhsa_plan,
+            )
+            if (_jax.default_backend() in ("tpu", "axon")
+                    and banded_mhsa_plan(S, H, c.num_heads) is not None):
+                return banded_mhsa(q, k, v, attn_mask, c.num_heads,
+                                   c.window)
+
         q, k, v = heads(q), heads(k), heads(v)
 
         if c.attention_type == "chunked":

@@ -236,3 +236,241 @@ def local_global_attention(q, k, v, key_mask, window, block_size=128):
         return pallas_block_local_attention(q, k, v, key_mask, window,
                                             block_size)
     return block_local_attention(q, k, v, key_mask, window, block_size)
+
+
+# ---------------------------------------------------------------------------
+# Full-width lane-masked banded MHSA (round-4 ledger follow-up)
+#
+# The per-(batch·head) kernel above runs B·H thin [S, 64] grid cells —
+# at the XFormer bench shapes that is 384 sequential cells whose D=64
+# matmuls half-fill the MXU, measured ~7× off the stream floor, plus
+# ~24 ms/step of head split/merge copies around it (BASELINE.md round-4
+# XFormer ledger). The kernel below applies ops/pallas_mhsa.py's proven
+# recipe to the band: q/k/v stay in their natural [B·S, H] layout (no
+# head-split transposes anywhere), each grid cell owns a [S, 128-lane]
+# head-GROUP slice, and heads separate *inside* the MXU by zeroing the
+# other head's query lanes (the masked full-width contraction costs the
+# same as a per-head one — the MXU pads 64-wide contractions to 128
+# anyway). Grid: (B, H/128) fat cells instead of (B·H,) thin ones.
+# Semantics are exactly block_local_attention (banded window + global
+# key/query position 0, masked_softmax zero conventions); the backward
+# is the same flash-style recompute with VMEM dk/dv accumulators.
+# ---------------------------------------------------------------------------
+
+
+def _bmhsa_fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *,
+                      nb: int, BS: int, window: int, hd: int, G: int,
+                      scale: float):
+    S, W = q_ref.shape
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (BS, W), 1) // hd
+    for qi in range(nb):
+        q_blk = q_ref[qi * BS:(qi + 1) * BS, :].astype(jnp.float32)
+        blocks = _blocks_for(qi, nb)
+        k_cat = jnp.concatenate(
+            [k_ref[kj * BS:(kj + 1) * BS, :] for kj in blocks],
+            axis=0).astype(jnp.float32)
+        v_cat = jnp.concatenate(
+            [v_ref[kj * BS:(kj + 1) * BS, :] for kj in blocks],
+            axis=0).astype(jnp.float32)
+        m = jnp.concatenate(
+            [_band_mask(qi, kj, BS, window) &
+             (mask_ref[0, 0, kj * BS:(kj + 1) * BS] > 0)[None, :]
+             for kj in blocks], axis=1)
+        o = jnp.zeros((BS, W), jnp.float32)
+        for g in range(G):
+            lm = (lane_head == g).astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q_blk * lm, k_cat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(jnp.where(m, s, NEG_INF), axis=-1)
+            p = p * m.astype(jnp.float32)
+            o = o + jnp.dot(p, v_cat,
+                            preferred_element_type=jnp.float32) * lm
+        o_ref[qi * BS:(qi + 1) * BS, :] = o.astype(o_ref.dtype)
+
+
+def _bmhsa_bwd_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                      nb: int, BS: int, window: int, hd: int, G: int,
+                      scale: float):
+    S, W = q_ref.shape
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (BS, W), 1) // hd
+    dk_acc[:] = jnp.zeros_like(dk_acc)
+    dv_acc[:] = jnp.zeros_like(dv_acc)
+    for qi in range(nb):
+        q_blk = q_ref[qi * BS:(qi + 1) * BS, :].astype(jnp.float32)
+        do_blk = do_ref[qi * BS:(qi + 1) * BS, :].astype(jnp.float32)
+        blocks = _blocks_for(qi, nb)
+        k_cat = jnp.concatenate(
+            [k_ref[kj * BS:(kj + 1) * BS, :] for kj in blocks],
+            axis=0).astype(jnp.float32)
+        v_cat = jnp.concatenate(
+            [v_ref[kj * BS:(kj + 1) * BS, :] for kj in blocks],
+            axis=0).astype(jnp.float32)
+        m = jnp.concatenate(
+            [_band_mask(qi, kj, BS, window) &
+             (mask_ref[0, 0, kj * BS:(kj + 1) * BS] > 0)[None, :]
+             for kj in blocks], axis=1)
+        mf = m.astype(jnp.float32)
+        dq = jnp.zeros((BS, W), jnp.float32)
+        dk_cat = jnp.zeros((len(blocks) * BS, W), jnp.float32)
+        dv_cat = jnp.zeros((len(blocks) * BS, W), jnp.float32)
+        for g in range(G):
+            lm = (lane_head == g).astype(jnp.float32)
+            qg = q_blk * lm
+            do_g = do_blk * lm
+            s = jax.lax.dot_general(
+                qg, k_cat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            sig = jax.nn.softmax(jnp.where(m, s, NEG_INF), axis=-1)
+            p = sig * mf
+            dp = jax.lax.dot_general(
+                do_g, v_cat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dsig = dp * mf
+            ds = sig * (dsig - jnp.sum(sig * dsig, axis=-1, keepdims=True))
+            dq = dq + jnp.dot(ds, k_cat,
+                              preferred_element_type=jnp.float32) * \
+                scale * lm
+            dk_cat = dk_cat + jax.lax.dot_general(
+                ds, qg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dv_cat = dv_cat + jax.lax.dot_general(
+                p, do_g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dq_ref[qi * BS:(qi + 1) * BS, :] = dq.astype(dq_ref.dtype)
+        for col, kj in enumerate(blocks):
+            sl = slice(kj * BS, (kj + 1) * BS)
+            dk_acc[sl, :] += dk_cat[col * BS:(col + 1) * BS, :]
+            dv_acc[sl, :] += dv_cat[col * BS:(col + 1) * BS, :]
+    dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
+    dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bmhsa_specs(B: int, S: int, W: int, n_tensors: int):
+    mask_spec = pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((S, W), lambda b, h: (b, h),
+                          memory_space=pltpu.VMEM)
+    return mask_spec, [t_spec] * n_tensors, t_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _bmhsa(q, k, v, key_mask, window, block_size, hd, G, S, interpret):
+    return _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, hd, G,
+                           S, interpret)
+
+
+def _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, hd, G, S,
+                    interpret):
+    BS_, H = q.shape
+    B = BS_ // S
+    W = hd * G
+    nb = S // block_size
+    scale = 1.0 / float(hd) ** 0.5
+    mask_spec, in_specs, out_spec = _bmhsa_specs(B, S, W, 3)
+    kern = functools.partial(_bmhsa_fwd_kernel, nb=nb, BS=block_size,
+                             window=window, hd=hd, G=G, scale=scale)
+    return pl.pallas_call(
+        kern,
+        grid=(B, H // W),
+        in_specs=[mask_spec] + in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((BS_, H), q.dtype),
+        interpret=interpret,
+    )(key_mask.reshape(B, 1, S), q, k, v)
+
+
+def _bmhsa_fwd(q, k, v, key_mask, window, block_size, hd, G, S,
+               interpret):
+    out = _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, hd, G,
+                          S, interpret)
+    return out, (q, k, v, key_mask)
+
+
+def _bmhsa_bwd(window, block_size, hd, G, S, interpret, residuals, g):
+    q, k, v, key_mask = residuals
+    BS_, H = q.shape
+    B = BS_ // S
+    W = hd * G
+    nb = S // block_size
+    scale = 1.0 / float(hd) ** 0.5
+    mask_spec, in_specs, out_spec = _bmhsa_specs(B, S, W, 4)
+    kern = functools.partial(_bmhsa_bwd_kernel, nb=nb, BS=block_size,
+                             window=window, hd=hd, G=G, scale=scale)
+    shp = jax.ShapeDtypeStruct((BS_, H), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(B, H // W),
+        in_specs=[mask_spec] + in_specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(shp, shp, shp),
+        scratch_shapes=[pltpu.VMEM((S, W), jnp.float32),
+                        pltpu.VMEM((S, W), jnp.float32)],
+        interpret=interpret,
+    )(key_mask.reshape(B, 1, S), q, k, v, g)
+    return dq, dk, dv, jnp.zeros_like(key_mask)
+
+
+_bmhsa.defvjp(_bmhsa_fwd, _bmhsa_bwd)
+
+
+def banded_mhsa_plan(S: int, H: int, n_heads: int):
+    """(hd, G) when the full-width banded kernel maps, else None:
+    heads must tile 128-lane groups (or all of H when H ≤ 128)."""
+    if H % n_heads:
+        return None
+    hd = H // n_heads
+    if H <= 128:
+        return hd, n_heads
+    if 128 % hd == 0 and n_heads % (128 // hd) == 0:
+        return hd, 128 // hd
+    return None
+
+
+def banded_mhsa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                key_mask: jnp.ndarray, n_heads: int, window: int,
+                block_size: int = 128,
+                interpret: bool = False) -> jnp.ndarray:
+    """Banded local+global MHSA on UNSPLIT [B, S, H] q/k/v → [B, S, H].
+
+    Heads separate inside the kernel (lane masking); semantics equal
+    head-splitting + ``block_local_attention`` + head-merging, pinned by
+    tests/test_pallas_attention.py. The global query row 0 (CLS attends
+    everywhere) is exact, computed outside the kernel like
+    ``pallas_block_local_attention``.
+    """
+    B, S, H = q.shape
+    plan = banded_mhsa_plan(S, H, n_heads)
+    assert plan is not None
+    hd, G = plan
+    assert window <= block_size
+    pad = (-S) % block_size
+    if pad:
+        zc = ((0, 0), (0, pad), (0, 0))
+        q, k, v = jnp.pad(q, zc), jnp.pad(k, zc), jnp.pad(v, zc)
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
+    Sp = S + pad
+    out = _bmhsa(q.reshape(B * Sp, H), k.reshape(B * Sp, H),
+                 v.reshape(B * Sp, H), key_mask.astype(jnp.float32),
+                 window, block_size, hd, G, Sp, interpret)
+    out = out.reshape(B, Sp, H)
+    # exact global query row 0 over all keys (differentiable JAX).
+    # Heads separate by lane SLICES of the natural [B, Sp, H] layout —
+    # batched matvecs per head, never a [B, nh, Sp, hd] transpose of the
+    # full k/v (those were ~half the per-layer copy bucket in the
+    # round-4 ledger).
+    from ..models.attention import masked_softmax
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, q.dtype))
+    q0 = q[:, 0, :]                                       # [B, H]
+    s0 = jnp.stack(
+        [jnp.einsum("bd,bkd->bk", q0[:, g * hd:(g + 1) * hd],
+                    k[:, :, g * hd:(g + 1) * hd])
+         for g in range(n_heads)], axis=1) * scale        # [B, nh, Sp]
+    p0 = masked_softmax(s0, key_mask[:, None, :])
+    out0 = jnp.concatenate(
+        [jnp.einsum("bk,bkd->bd", p0[:, g, :],
+                    v[:, :, g * hd:(g + 1) * hd])
+         for g in range(n_heads)], axis=-1)[:, None, :]   # [B, 1, H]
+    out = jnp.concatenate([out0, out[:, 1:, :]], axis=1)
+    return out[:, :S, :]

@@ -60,3 +60,72 @@ def test_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=2e-4,
                                    err_msg=f"d{name}")
+
+
+# ---- full-width lane-masked banded MHSA (round-4 ledger follow-up) ----
+
+from news_recommendation_mind_tpu.ops.pallas_attention import (  # noqa: E402
+    banded_mhsa, banded_mhsa_plan,
+)
+
+
+def _unsplit_data(S, NH, HD, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, S, NH * HD)).astype(np.float32) * 0.5
+    k = rng.standard_normal((B, S, NH * HD)).astype(np.float32) * 0.5
+    v = rng.standard_normal((B, S, NH * HD)).astype(np.float32) * 0.5
+    mask = np.ones((B, S), np.float32)
+    mask[0, -S // 5:] = 0.0
+    return map(jnp.asarray, (q, k, v, mask))
+
+
+def _ref_banded(q, k, v, mask, n_heads, window, bs):
+    """Head-split + block_local_attention + merge — the straightforward
+    formulation the full-width kernel must match."""
+    Bq, S, Hh = q.shape
+    hd = Hh // n_heads
+    f = lambda t: t.reshape(Bq, S, n_heads, hd).transpose(0, 2, 1, 3)
+    out = block_local_attention(f(q), f(k), f(v), mask, window,
+                                block_size=bs)
+    return out.transpose(0, 2, 1, 3).reshape(Bq, S, Hh)
+
+
+def test_banded_mhsa_plan():
+    assert banded_mhsa_plan(1024, 768, 12) == (64, 2)   # longformer
+    assert banded_mhsa_plan(256, 128, 4) == (32, 4)     # H <= 128
+    assert banded_mhsa_plan(256, 96, 5) is None         # no tiling
+
+
+@pytest.mark.parametrize("S,NH,HD,window,bs", [
+    (256, 4, 32, 32, 128),    # two head groups of G=4
+    (384, 2, 64, 64, 128),    # G=2, three blocks
+    (260, 4, 32, 24, 128),    # padded tail (S not a block multiple)
+])
+def test_banded_mhsa_forward_matches_split_ref(S, NH, HD, window, bs):
+    q, k, v, mask = _unsplit_data(S, NH, HD)
+    ref = _ref_banded(q, k, v, mask, NH, window, bs)
+    out = banded_mhsa(q, k, v, mask, NH, window, block_size=bs,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_banded_mhsa_gradients_match_split_ref():
+    S, NH, HD, window, bs = 256, 4, 32, 32, 128
+    q, k, v, mask = _unsplit_data(S, NH, HD, seed=1)
+    do = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (B, S, NH * HD)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_banded(q, k, v, mask, NH, window, bs) * do)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(banded_mhsa(q, k, v, mask, NH, window,
+                                   block_size=bs, interpret=True) * do)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ref, g_pl, "qkv"):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name}")
