@@ -173,7 +173,7 @@ def encode_unique_users(model, params, eval_loader,
     candidate-width bucket), into a ``[U, H]`` table. Phase 2 then
     scores by table lookup on BOTH sides. Exact: ``encode_user`` is
     deterministic at eval and row-independent, pinned by
-    tests/test_eval.py::test_user_dedup_matches_live_path.
+    tests/test_plm_xformer.py::test_user_dedup_matches_live_path.
 
     Returns ``(user_table [U, H] float32, uidx_of_row [n_rows] int64)``
     where ``uidx_of_row[j]`` maps a behavior row to its table slot
@@ -220,7 +220,14 @@ def encode_unique_users(model, params, eval_loader,
 
 def fast_eval_scores(model, params, news_table: np.ndarray, eval_loader,
                      with_user_id: bool = True, dedup_users: bool = True):
-    """Phase 2: yield per-batch (impr, labels, sigmoid scores, mask, valid)."""
+    """Phase 2: yield per-batch (impr, labels, sigmoid scores, mask, valid).
+
+    ``dedup_users=True`` (default) routes one-tower models through the
+    phase-1.5 unique-user table. Scores can differ from the live
+    per-chunk path at the ~1e-3 level under bf16 (different XLA program;
+    float32 user table vs in-jit bf16 user reprs) — pass
+    ``dedup_users=False`` to reproduce numbers logged before round 4.
+    """
     table = jax.device_put(jnp.asarray(news_table))
     score_fns: Dict[int, callable] = {}
     # one-tower models (XFormer) need raw history tokens for the user pass;
@@ -307,7 +314,11 @@ def evaluate(model, params, eval_loader, metrics: List[str],
              save_table_path: Optional[str] = None,
              dedup_users: bool = True) -> Dict[str, float]:
     """End-to-end dev evaluation → metric dict
-    (reference utils/Manager.py:544-585 evaluate)."""
+    (reference utils/Manager.py:544-585 evaluate).
+
+    ``dedup_users`` (one-tower models only): see ``fast_eval_scores`` —
+    default metrics may differ ~1e-3 from the pre-round-4 live path
+    under bf16; pass False to reproduce older logged numbers."""
     if fast:
         if news_table is None:
             assert news_loader is not None
@@ -336,7 +347,9 @@ def write_predictions(model, params, eval_loader, result_dir: str,
                      news_table: Optional[np.ndarray] = None,
                      dedup_users: bool = True) -> Optional[str]:
     """Unlabeled test pass → prediction.txt in MIND leaderboard format
-    (reference utils/Manager.py:815-852)."""
+    (reference utils/Manager.py:815-852). ``dedup_users``: see
+    ``fast_eval_scores`` (bf16-level score differences vs the live
+    path; pass False for pre-round-4 reproduction)."""
     if fast:
         if news_table is None:
             news_table = encode_all_news(model, params, news_loader,
