@@ -43,6 +43,24 @@ import jax.numpy as jnp
 from .attention import masked_softmax
 
 
+def _tpu_backend() -> bool:
+    """True on real TPU backends (monkeypatch point for CPU tests)."""
+    import jax
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def use_banded_mhsa(attention_type: str, window: int, S: int,
+                    has_kv: bool, A: int, H: int, n_heads: int) -> bool:
+    """Routing predicate for the full-width banded Pallas kernel: the
+    long-sequence local-attention self-attention path with an unsliced
+    projection width and a head count that tiles 128-lane groups.
+    Pinned by tests/test_plm_xformer.py::test_banded_mhsa_routing."""
+    from ..ops.pallas_attention import banded_mhsa_plan
+    return (attention_type == "local" and window > 0 and S > 256
+            and not has_kv and A == H and _tpu_backend()
+            and banded_mhsa_plan(S, H, n_heads) is not None)
+
+
 @dataclass(frozen=True)
 class BertVariantConfig:
     vocab_size: int = 30522
@@ -200,6 +218,93 @@ def _bigbird_block_pattern(S: int, block: int, n_rand: int, n_heads: int,
                                   replace=False)
                 keep[h, qb, cand[pick]] = True
     return keep
+
+
+def _bigbird_selection(pattern):
+    """Static per-(head, query-block) key-block selection lists from the
+    [nh, nb, nb] bool pattern, for query blocks 1..nb-1 (block 0 is the
+    global row — it attends every key and is computed densely).
+    Returns (sel [nh, nb-1, NSEL] int32, valid [nh, nb-1, NSEL] bool);
+    NSEL is the max selected-block count, short rows padded with dead
+    slots that the validity mask kills."""
+    import numpy as np
+    nh, nb, _ = pattern.shape
+    NSEL = int(pattern[:, 1:, :].sum(-1).max()) if nb > 1 else 0
+    sel = np.zeros((nh, nb - 1, NSEL), np.int32)
+    valid = np.zeros((nh, nb - 1, NSEL), bool)
+    for h in range(nh):
+        for qb in range(1, nb):
+            idx = np.nonzero(pattern[h, qb])[0]
+            sel[h, qb - 1, :len(idx)] = idx
+            valid[h, qb - 1, :len(idx)] = True
+    return sel, valid
+
+
+def bigbird_block_sparse_attention(q: jnp.ndarray, k: jnp.ndarray,
+                                   v: jnp.ndarray, key_mask: jnp.ndarray,
+                                   pattern, block: int,
+                                   prob_dropout=None) -> jnp.ndarray:
+    """BigBird attention executed SPARSELY: each query block gathers
+    only its pattern's {sliding, global, random} key blocks.
+
+    The dense-mask formulation materializes [B, nh, S, S] score/prob
+    tensors and pays O(S²) matmul FLOPs even though only ~NSEL·block of
+    S key columns per query block are live; here k/v are gathered per
+    (head, query block) with a static index (one executable per shape),
+    so score/PV work is O(S · NSEL · block) and no S×S tensor exists.
+    Query block 0 (the global row — it attends everything) runs densely
+    over all keys. Exactly equals the dense masked formulation
+    (tests/test_sparse_attention.py::test_bigbird_sparse_matches_dense).
+    The reference gets this from HF BigBird's block-sparse kernels
+    (reference models/PLM.py:66-78, BigBirdConfig(block_size=64)).
+
+    q/k/v [B, nh, S, hd]; key_mask [B, S]; pattern [nh, nb, nb] bool
+    (static numpy); S is padded to a block multiple internally.
+    ``prob_dropout`` (optional callable) is applied to each probability
+    tensor — iid per-element dropout, distributionally identical to the
+    dense path's dropout (masked columns carry zero probability).
+    """
+    import numpy as np
+    B, nh, S, hd = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, q.dtype))
+    nb = pattern.shape[1]
+    Sp = nb * block
+    if Sp != S:
+        zc = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
+        q, k, v = jnp.pad(q, zc), jnp.pad(k, zc), jnp.pad(v, zc)
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, Sp - S)))
+    sel, selvalid = _bigbird_selection(np.asarray(pattern, bool))
+    NSEL = sel.shape[-1]
+    kb = k.reshape(B, nh, nb, block, hd)
+    vb = v.reshape(B, nh, nb, block, hd)
+    selj = jnp.asarray(sel)                           # [nh, nbq, NSEL]
+    h_idx = jnp.arange(nh)[:, None, None]
+    k_sel = kb[:, h_idx, selj]          # [B, nh, nbq, NSEL, block, hd]
+    v_sel = vb[:, h_idx, selj]
+    kmb = key_mask.reshape(B, nb, block)
+    am_sel = kmb[:, selj]                   # [B, nh, nbq, NSEL, block]
+    colmask = (am_sel *
+               jnp.asarray(selvalid, key_mask.dtype)[None, :, :, :, None])
+    colmask = colmask.reshape(B, nh, nb - 1, 1, NSEL * block)
+    qq = q.reshape(B, nh, nb, block, hd)
+    scores = jnp.einsum(
+        "bhnqd,bhnkd->bhnqk", qq[:, :, 1:],
+        k_sel.reshape(B, nh, nb - 1, NSEL * block, hd)) * scale
+    probs = masked_softmax(scores, colmask)
+    if prob_dropout is not None:
+        probs = prob_dropout(probs)
+    out_sp = jnp.einsum(
+        "bhnqk,bhnkd->bhnqd", probs,
+        v_sel.reshape(B, nh, nb - 1, NSEL * block, hd))
+    # global query block 0: dense over all keys (pattern row 0 is all
+    # ones by construction — tests/test_sparse_attention.py)
+    s0 = jnp.einsum("bhqd,bhkd->bhqk", qq[:, :, 0], k) * scale
+    p0 = masked_softmax(s0, key_mask[:, None, None, :])
+    if prob_dropout is not None:
+        p0 = prob_dropout(p0)
+    out0 = jnp.einsum("bhqk,bhkd->bhqd", p0, v)
+    out = jnp.concatenate([out0[:, :, None], out_sp], axis=2)
+    return out.reshape(B, nh, Sp, hd)[:, :, :S]
 
 
 def _chunk_neighbors(x: jnp.ndarray) -> jnp.ndarray:
@@ -547,8 +652,8 @@ class _SelfAttention(nn.Module):
                 return short_mhsa(q, k, v, attn_mask, c.num_heads,
                                   p_drop=p_drop, dropout_rng=rng)
 
-        if (c.attention_type == "local" and c.window > 0 and S > 256
-                and kv is None and A == H):
+        if use_banded_mhsa(c.attention_type, c.window, S, kv is not None,
+                           A, H, c.num_heads):
             # long-sequence path on UNSPLIT [B, S, H] q/k/v: the
             # full-width lane-masked banded kernel keeps the natural
             # layout (no head split/merge transposes — ~24 ms/step of
@@ -556,15 +661,9 @@ class _SelfAttention(nn.Module):
             # grid cells instead of (B·heads) thin [S, 64] ones
             # (BASELINE.md round-4 XFormer ledger). Attention dropout is
             # skipped on the band like the per-head path below.
-            import jax as _jax
-
-            from ..ops.pallas_attention import (
-                banded_mhsa, banded_mhsa_plan,
-            )
-            if (_jax.default_backend() in ("tpu", "axon")
-                    and banded_mhsa_plan(S, H, c.num_heads) is not None):
-                return banded_mhsa(q, k, v, attn_mask, c.num_heads,
-                                   c.window)
+            from ..ops.pallas_attention import banded_mhsa
+            return banded_mhsa(q, k, v, attn_mask, c.num_heads,
+                               c.window)
 
         q, k, v = heads(q), heads(k), heads(v)
 
@@ -577,8 +676,18 @@ class _SelfAttention(nn.Module):
             block = c.block_size or 64
             pattern = _bigbird_block_pattern(S, block, c.num_random_blocks,
                                              c.num_heads, c.layer_seed)
-            # expand block pattern on the fly (the stored constant is the
-            # tiny [nh, nb, nb] block map)
+            drop = nn.Dropout(c.attention_dropout,
+                              deterministic=deterministic)
+            if pattern.shape[1] >= 8:
+                # long-sequence regime: the pattern is actually sparse
+                # (NSEL·block ≪ S) — gather each query block's key
+                # blocks instead of materializing [B, nh, S, S] scores
+                out = bigbird_block_sparse_attention(
+                    q, k, v, attn_mask, pattern, block, prob_dropout=drop)
+                return out.transpose(0, 2, 1, 3).reshape(B, S, H)
+            # short-sequence regime (the PLM news tower, nb ≤ a few):
+            # nearly every block is selected — dense masked attention
+            # with the expanded block map is cheaper than gathering
             pat = jnp.asarray(pattern, self.dtype)
             pat = jnp.repeat(jnp.repeat(pat, block, axis=1), block,
                              axis=2)[:, :S, :S]
@@ -586,8 +695,7 @@ class _SelfAttention(nn.Module):
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
                 jnp.asarray(head_dim, self.dtype))
             probs = masked_softmax(scores, mask)
-            probs = nn.Dropout(c.attention_dropout,
-                               deterministic=deterministic)(probs)
+            probs = drop(probs)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
             return out.transpose(0, 2, 1, 3).reshape(B, S, H)
         if c.attention_type == "full":

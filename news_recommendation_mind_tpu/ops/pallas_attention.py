@@ -239,7 +239,8 @@ def local_global_attention(q, k, v, key_mask, window, block_size=128):
 
 
 # ---------------------------------------------------------------------------
-# Full-width lane-masked banded MHSA (round-4 ledger follow-up)
+# Full-width lane-masked banded MHSA (round-4 ledger follow-up; round-5
+# flash-merged global column)
 #
 # The per-(batch·head) kernel above runs B·H thin [S, 64] grid cells —
 # at the XFormer bench shapes that is 384 sequential cells whose D=64
@@ -252,97 +253,231 @@ def local_global_attention(q, k, v, key_mask, window, block_size=128):
 # other head's query lanes (the masked full-width contraction costs the
 # same as a per-head one — the MXU pads 64-wide contractions to 128
 # anyway). Grid: (B, H/128) fat cells instead of (B·H,) thin ones.
+#
+# Round-5 (the round-4 ledger's named next cut): the remaining kernel
+# cost was VPU-bound masked softmax over {0, i-1, i, i+1} block columns
+# — 512 score lanes per query row of which ~3/4 were band-masked, with
+# block 0 contributing 128 columns for ONE global key. Now each query
+# block reads a single contiguous key window of KW = BS + 2·pad lanes
+# (pad = window rounded up to sublane alignment; 192 lanes at the
+# longformer w=32 budget), the band mask EXCLUDES key 0, and the global
+# key's score is computed as one extra column outside the window and
+# merged into the softmax flash-style (shared running max, one joint
+# normalizer) — mathematically exact, 512 → 192 softmax lanes and score
+# /PV matmul columns per query row.
+#
 # Semantics are exactly block_local_attention (banded window + global
 # key/query position 0, masked_softmax zero conventions); the backward
 # is the same flash-style recompute with VMEM dk/dv accumulators.
 # ---------------------------------------------------------------------------
 
 
+def _key_window(qi: int, BS: int, KW: int, window: int, S: int) -> int:
+    """Static start row of query block qi's contiguous key window.
+
+    Covers the full band [qi·BS − window, (qi+1)·BS − 1 + window]
+    (asserted at trace time); key 0 is handled by the global merge."""
+    pad = (KW - BS) // 2
+    start = min(max(qi * BS - pad, 0), S - KW)
+    assert start <= max(qi * BS - window, 0)
+    assert start + KW >= min((qi + 1) * BS + window, S)
+    return start
+
+
+def _stack_groups(blk: jnp.ndarray, G: int, hd: int) -> jnp.ndarray:
+    """[R, W] → [G·R, W]: copy g keeps only head-group g's lanes.
+
+    Stacking lets ONE matmul carry all G lane-masked head groups (the
+    per-g matmuls were too small to hide per-op overhead — the stacked
+    [G·R, ·] ops double the MXU fill at G=2 and fuse the per-g dk/dv
+    accumulation matmuls in the backward into single contractions).
+    Operands stay f32 in-kernel: a bf16-operand variant was measured
+    SLOWER end to end (fwd+bwd 2.49 → 2.83 ms at bench shapes — the
+    casts cost more than the f32 matmul penalty at these tile sizes)."""
+    R, W = blk.shape
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (G * R, W), 1) // hd
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (G * R, W), 0) // R
+    keep = (lane_g == row_g).astype(blk.dtype)
+    return jnp.concatenate([blk] * G, axis=0) * keep
+
+
+def _unstack_groups(stk: jnp.ndarray, G: int, hd: int, R: int
+                    ) -> jnp.ndarray:
+    """[G·R, W] → [R, W]: lane-masked sum of the G copies (the lane
+    groups partition W, so this just selects each group's lanes)."""
+    W = stk.shape[1]
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) // hd
+    o = jnp.zeros((R, W), jnp.float32)
+    for g in range(G):
+        lm = (lane_head == g).astype(jnp.float32)
+        o = o + stk[g * R:(g + 1) * R, :] * lm
+    return o
+
+
+def _merged_softmax(st, sg_eff, mf, gvf):
+    """Joint masked softmax over band columns + the single global
+    column (flash-style shared max / one normalizer). Fully-masked
+    rows → all-zero probabilities (masked_softmax convention)."""
+    smax = jnp.maximum(jnp.max(st, axis=-1, keepdims=True), sg_eff)
+    e = jnp.exp(st - smax) * mf
+    e_g = jnp.exp(sg_eff - smax) * gvf
+    z = jnp.sum(e, axis=-1, keepdims=True) + e_g
+    zinv = jnp.where(z > 0, 1.0 / z, 0.0)
+    return e * zinv, e_g * zinv
+
+
+def _band_inputs(mask_ref, qi, BS, KW, window, S, G):
+    """Static band geometry for query block qi: key-window start plus
+    the stacked validity mask (band excludes the global key 0)."""
+    start = _key_window(qi, BS, KW, window, S)
+    qpos = qi * BS + jax.lax.broadcasted_iota(jnp.int32, (BS, KW), 0)
+    kpos = start + jax.lax.broadcasted_iota(jnp.int32, (BS, KW), 1)
+    kvalid = mask_ref[0, 0, start:start + KW] > 0
+    m = (jnp.abs(qpos - kpos) <= window) & (kpos != 0) & kvalid[None, :]
+    mf = jnp.concatenate([m.astype(jnp.float32)] * G, axis=0)
+    return start, mf
+
+
 def _bmhsa_fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *,
-                      nb: int, BS: int, window: int, hd: int, G: int,
-                      scale: float):
+                      nb: int, BS: int, KW: int, window: int, hd: int,
+                      G: int, scale: float):
     S, W = q_ref.shape
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (BS, W), 1) // hd
+    k0 = k_ref[0:1, :].astype(jnp.float32)            # global key row
+    v0 = v_ref[0:1, :].astype(jnp.float32)
+    g_valid = mask_ref[0, 0, 0] > 0
+    gvf = jnp.float32(1.0) * g_valid
     for qi in range(nb):
-        q_blk = q_ref[qi * BS:(qi + 1) * BS, :].astype(jnp.float32)
-        blocks = _blocks_for(qi, nb)
-        k_cat = jnp.concatenate(
-            [k_ref[kj * BS:(kj + 1) * BS, :] for kj in blocks],
-            axis=0).astype(jnp.float32)
-        v_cat = jnp.concatenate(
-            [v_ref[kj * BS:(kj + 1) * BS, :] for kj in blocks],
-            axis=0).astype(jnp.float32)
-        m = jnp.concatenate(
-            [_band_mask(qi, kj, BS, window) &
-             (mask_ref[0, 0, kj * BS:(kj + 1) * BS] > 0)[None, :]
-             for kj in blocks], axis=1)
-        o = jnp.zeros((BS, W), jnp.float32)
-        for g in range(G):
-            lm = (lane_head == g).astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q_blk * lm, k_cat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            p = jax.nn.softmax(jnp.where(m, s, NEG_INF), axis=-1)
-            p = p * m.astype(jnp.float32)
-            o = o + jnp.dot(p, v_cat,
-                            preferred_element_type=jnp.float32) * lm
-        o_ref[qi * BS:(qi + 1) * BS, :] = o.astype(o_ref.dtype)
+        start, mf = _band_inputs(mask_ref, qi, BS, KW, window, S, G)
+        qs = _stack_groups(q_ref[qi * BS:(qi + 1) * BS, :]
+                           .astype(jnp.float32), G, hd)
+        k_win = k_ref[start:start + KW, :].astype(jnp.float32)
+        v_win = v_ref[start:start + KW, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qs, k_win, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [G·BS, KW]
+        sg = jax.lax.dot_general(
+            qs, k0, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [G·BS, 1]
+        st = jnp.where(mf > 0, s, NEG_INF)
+        sg_eff = jnp.where(g_valid, sg, NEG_INF)
+        p, p_g = _merged_softmax(st, sg_eff, mf, gvf)
+        o_stk = jnp.dot(p, v_win,
+                        preferred_element_type=jnp.float32) + p_g * v0
+        o_ref[qi * BS:(qi + 1) * BS, :] = _unstack_groups(
+            o_stk, G, hd, BS).astype(o_ref.dtype)
+    # exact global query row 0 (CLS attends every valid key) — k/v are
+    # already VMEM-resident, so the full [G, S] row costs two skinny
+    # matmuls instead of the former outside-kernel einsums + a
+    # full-output concat in HBM
+    q0s = _stack_groups(q_ref[0:1, :].astype(jnp.float32), G, hd)
+    k_all = k_ref[:, :].astype(jnp.float32)
+    v_all = v_ref[:, :].astype(jnp.float32)
+    s0 = jax.lax.dot_general(
+        q0s, k_all, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [G, S]
+    kvalid_all = (mask_ref[0, 0, :] > 0)[None, :]
+    m0 = jnp.concatenate([kvalid_all.astype(jnp.float32)] * G, axis=0)
+    st0 = jnp.where(m0 > 0, s0, NEG_INF)
+    m0max = jnp.max(st0, axis=-1, keepdims=True)
+    e0 = jnp.exp(st0 - m0max) * m0
+    z0 = jnp.sum(e0, axis=-1, keepdims=True)
+    p0 = e0 * jnp.where(z0 > 0, 1.0 / z0, 0.0)
+    o0 = jnp.dot(p0, v_all, preferred_element_type=jnp.float32)
+    o_ref[0:1, :] = _unstack_groups(o0, G, hd, 1).astype(o_ref.dtype)
 
 
 def _bmhsa_bwd_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref,
                       dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-                      nb: int, BS: int, window: int, hd: int, G: int,
-                      scale: float):
+                      nb: int, BS: int, KW: int, window: int, hd: int,
+                      G: int, scale: float):
     S, W = q_ref.shape
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (BS, W), 1) // hd
     dk_acc[:] = jnp.zeros_like(dk_acc)
     dv_acc[:] = jnp.zeros_like(dv_acc)
+    k0 = k_ref[0:1, :].astype(jnp.float32)
+    v0 = v_ref[0:1, :].astype(jnp.float32)
+    g_valid = mask_ref[0, 0, 0] > 0
+    gvf = jnp.float32(1.0) * g_valid
+    dk0 = jnp.zeros((1, W), jnp.float32)
+    dv0 = jnp.zeros((1, W), jnp.float32)
     for qi in range(nb):
-        q_blk = q_ref[qi * BS:(qi + 1) * BS, :].astype(jnp.float32)
+        start, mf = _band_inputs(mask_ref, qi, BS, KW, window, S, G)
         do_blk = do_ref[qi * BS:(qi + 1) * BS, :].astype(jnp.float32)
-        blocks = _blocks_for(qi, nb)
-        k_cat = jnp.concatenate(
-            [k_ref[kj * BS:(kj + 1) * BS, :] for kj in blocks],
-            axis=0).astype(jnp.float32)
-        v_cat = jnp.concatenate(
-            [v_ref[kj * BS:(kj + 1) * BS, :] for kj in blocks],
-            axis=0).astype(jnp.float32)
-        m = jnp.concatenate(
-            [_band_mask(qi, kj, BS, window) &
-             (mask_ref[0, 0, kj * BS:(kj + 1) * BS] > 0)[None, :]
-             for kj in blocks], axis=1)
-        mf = m.astype(jnp.float32)
-        dq = jnp.zeros((BS, W), jnp.float32)
-        dk_cat = jnp.zeros((len(blocks) * BS, W), jnp.float32)
-        dv_cat = jnp.zeros((len(blocks) * BS, W), jnp.float32)
-        for g in range(G):
-            lm = (lane_head == g).astype(jnp.float32)
-            qg = q_blk * lm
-            do_g = do_blk * lm
-            s = jax.lax.dot_general(
-                qg, k_cat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            sig = jax.nn.softmax(jnp.where(m, s, NEG_INF), axis=-1)
-            p = sig * mf
-            dp = jax.lax.dot_general(
-                do_g, v_cat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dsig = dp * mf
-            ds = sig * (dsig - jnp.sum(sig * dsig, axis=-1, keepdims=True))
-            dq = dq + jnp.dot(ds, k_cat,
-                              preferred_element_type=jnp.float32) * \
-                scale * lm
-            dk_cat = dk_cat + jax.lax.dot_general(
-                ds, qg, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            dv_cat = dv_cat + jax.lax.dot_general(
-                p, do_g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        dq_ref[qi * BS:(qi + 1) * BS, :] = dq.astype(dq_ref.dtype)
-        for col, kj in enumerate(blocks):
-            sl = slice(kj * BS, (kj + 1) * BS)
-            dk_acc[sl, :] += dk_cat[col * BS:(col + 1) * BS, :]
-            dv_acc[sl, :] += dv_cat[col * BS:(col + 1) * BS, :]
+        if qi == 0:
+            # row 0's banded output is overwritten by the global row in
+            # the forward, so its cotangent must not feed the band path
+            row = jax.lax.broadcasted_iota(jnp.int32, (BS, W), 0)
+            do_blk = jnp.where(row == 0, 0.0, do_blk)
+        qs = _stack_groups(q_ref[qi * BS:(qi + 1) * BS, :]
+                           .astype(jnp.float32), G, hd)
+        dos = _stack_groups(do_blk, G, hd)
+        k_win = k_ref[start:start + KW, :].astype(jnp.float32)
+        v_win = v_ref[start:start + KW, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qs, k_win, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        sg = jax.lax.dot_general(
+            qs, k0, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        st = jnp.where(mf > 0, s, NEG_INF)
+        sg_eff = jnp.where(g_valid, sg, NEG_INF)
+        p, p_g = _merged_softmax(st, sg_eff, mf, gvf)
+        dp = jax.lax.dot_general(
+            dos, v_win, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp_g = jax.lax.dot_general(
+            dos, v0, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [G·BS, 1]
+        r = jnp.sum(p * dp, axis=-1, keepdims=True) + p_g * dp_g
+        ds = p * (dp - r)
+        ds_g = p_g * (dp_g - r)                               # [G·BS, 1]
+        dq_stk = (jnp.dot(ds, k_win, preferred_element_type=jnp.float32)
+                  + ds_g * k0) * scale
+        dq_ref[qi * BS:(qi + 1) * BS, :] = _unstack_groups(
+            dq_stk, G, hd, BS).astype(dq_ref.dtype)
+        # contracting over the G·BS stacked rows sums the per-group
+        # outer products in one matmul each
+        dk_acc[start:start + KW, :] += jax.lax.dot_general(
+            ds, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dv_acc[start:start + KW, :] += jax.lax.dot_general(
+            p, dos, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk0 = dk0 + jax.lax.dot_general(
+            ds_g, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # [1, W]
+        dv0 = dv0 + jax.lax.dot_general(
+            p_g, dos, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    # ---- global query row 0 (matches the forward's in-kernel row) ----
+    q0s = _stack_groups(q_ref[0:1, :].astype(jnp.float32), G, hd)
+    do0s = _stack_groups(do_ref[0:1, :].astype(jnp.float32), G, hd)
+    k_all = k_ref[:, :].astype(jnp.float32)
+    v_all = v_ref[:, :].astype(jnp.float32)
+    s0 = jax.lax.dot_general(
+        q0s, k_all, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale           # [G, S]
+    m0 = jnp.concatenate(
+        [(mask_ref[0, 0, :] > 0)[None, :].astype(jnp.float32)] * G, axis=0)
+    st0 = jnp.where(m0 > 0, s0, NEG_INF)
+    m0max = jnp.max(st0, axis=-1, keepdims=True)
+    e0 = jnp.exp(st0 - m0max) * m0
+    z0 = jnp.sum(e0, axis=-1, keepdims=True)
+    p0 = e0 * jnp.where(z0 > 0, 1.0 / z0, 0.0)
+    dp0 = jax.lax.dot_general(
+        do0s, v_all, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [G, S]
+    r0 = jnp.sum(p0 * dp0, axis=-1, keepdims=True)
+    ds0 = p0 * (dp0 - r0)
+    dq0 = jnp.dot(ds0, k_all, preferred_element_type=jnp.float32) * scale
+    dq_ref[0:1, :] = _unstack_groups(dq0, G, hd, 1).astype(dq_ref.dtype)
+    dk_acc[:, :] += jax.lax.dot_general(
+        ds0, q0s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale           # [S, W]
+    dv_acc[:, :] += jax.lax.dot_general(
+        p0, do0s, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_acc[0:1, :] += dk0
+    dv_acc[0:1, :] += dv0
     dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
     dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
 
@@ -355,13 +490,20 @@ def _bmhsa_specs(B: int, S: int, W: int, n_tensors: int):
     return mask_spec, [t_spec] * n_tensors, t_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _bmhsa(q, k, v, key_mask, window, block_size, hd, G, S, interpret):
-    return _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, hd, G,
-                           S, interpret)
+def _bmhsa_kw(window: int, block_size: int, S: int) -> int:
+    """Contiguous key-window width: band pad rounded up to 32 rows
+    (sublane-aligned starts for every input dtype), clamped to S."""
+    pad_req = -(-window // 32) * 32
+    return min(block_size + 2 * pad_req, S)
 
 
-def _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, hd, G, S,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _bmhsa(q, k, v, key_mask, window, block_size, KW, hd, G, S, interpret):
+    return _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, KW, hd,
+                           G, S, interpret)
+
+
+def _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, KW, hd, G, S,
                     interpret):
     BS_, H = q.shape
     B = BS_ // S
@@ -370,7 +512,7 @@ def _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, hd, G, S,
     scale = 1.0 / float(hd) ** 0.5
     mask_spec, in_specs, out_spec = _bmhsa_specs(B, S, W, 3)
     kern = functools.partial(_bmhsa_fwd_kernel, nb=nb, BS=block_size,
-                             window=window, hd=hd, G=G, scale=scale)
+                             KW=KW, window=window, hd=hd, G=G, scale=scale)
     return pl.pallas_call(
         kern,
         grid=(B, H // W),
@@ -381,14 +523,14 @@ def _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, hd, G, S,
     )(key_mask.reshape(B, 1, S), q, k, v)
 
 
-def _bmhsa_fwd(q, k, v, key_mask, window, block_size, hd, G, S,
+def _bmhsa_fwd(q, k, v, key_mask, window, block_size, KW, hd, G, S,
                interpret):
-    out = _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, hd, G,
-                          S, interpret)
+    out = _bmhsa_fwd_impl(q, k, v, key_mask, window, block_size, KW, hd,
+                          G, S, interpret)
     return out, (q, k, v, key_mask)
 
 
-def _bmhsa_bwd(window, block_size, hd, G, S, interpret, residuals, g):
+def _bmhsa_bwd(window, block_size, KW, hd, G, S, interpret, residuals, g):
     q, k, v, key_mask = residuals
     BS_, H = q.shape
     B = BS_ // S
@@ -397,7 +539,7 @@ def _bmhsa_bwd(window, block_size, hd, G, S, interpret, residuals, g):
     scale = 1.0 / float(hd) ** 0.5
     mask_spec, in_specs, out_spec = _bmhsa_specs(B, S, W, 4)
     kern = functools.partial(_bmhsa_bwd_kernel, nb=nb, BS=block_size,
-                             window=window, hd=hd, G=G, scale=scale)
+                             KW=KW, window=window, hd=hd, G=G, scale=scale)
     shp = jax.ShapeDtypeStruct((BS_, H), q.dtype)
     dq, dk, dv = pl.pallas_call(
         kern,
@@ -437,8 +579,10 @@ def banded_mhsa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Heads separate inside the kernel (lane masking); semantics equal
     head-splitting + ``block_local_attention`` + head-merging, pinned by
     tests/test_pallas_attention.py. The global query row 0 (CLS attends
-    everywhere) is exact, computed outside the kernel like
-    ``pallas_block_local_attention``.
+    everywhere) is exact and computed INSIDE the kernel (k/v are already
+    VMEM-resident there; the round-4 outside-kernel patch cost ~0.5 ms
+    fwd / ~1.5 ms bwd of einsums + a full-output HBM concat per call at
+    XFormer bench shapes).
     """
     B, S, H = q.shape
     plan = banded_mhsa_plan(S, H, n_heads)
@@ -451,26 +595,8 @@ def banded_mhsa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         q, k, v = jnp.pad(q, zc), jnp.pad(k, zc), jnp.pad(v, zc)
         key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
     Sp = S + pad
+    KW = _bmhsa_kw(window, block_size, Sp)
     out = _bmhsa(q.reshape(B * Sp, H), k.reshape(B * Sp, H),
                  v.reshape(B * Sp, H), key_mask.astype(jnp.float32),
-                 window, block_size, hd, G, Sp, interpret)
-    out = out.reshape(B, Sp, H)
-    # exact global query row 0 over all keys (differentiable JAX).
-    # Heads separate by lane SLICES of the natural [B, Sp, H] layout —
-    # batched matvecs per head, never a [B, nh, Sp, hd] transpose of the
-    # full k/v (those were ~half the per-layer copy bucket in the
-    # round-4 ledger).
-    from ..models.attention import masked_softmax
-    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, q.dtype))
-    q0 = q[:, 0, :]                                       # [B, H]
-    s0 = jnp.stack(
-        [jnp.einsum("bd,bkd->bk", q0[:, g * hd:(g + 1) * hd],
-                    k[:, :, g * hd:(g + 1) * hd])
-         for g in range(n_heads)], axis=1) * scale        # [B, nh, Sp]
-    p0 = masked_softmax(s0, key_mask[:, None, :])
-    out0 = jnp.concatenate(
-        [jnp.einsum("bk,bkd->bd", p0[:, g, :],
-                    v[:, :, g * hd:(g + 1) * hd])
-         for g in range(n_heads)], axis=-1)[:, None, :]   # [B, 1, H]
-    out = jnp.concatenate([out0, out[:, 1:, :]], axis=1)
-    return out[:, :S, :]
+                 window, block_size, KW, hd, G, Sp, interpret)
+    return out.reshape(B, Sp, H)[:, :S, :]

@@ -110,6 +110,37 @@ def test_banded_mhsa_forward_matches_split_ref(S, NH, HD, window, bs):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_banded_mhsa_masked_global_and_dead_rows():
+    """Round-5 flash-merged global column edge cases: the global key 0
+    masked out on one batch row, and a fully-masked batch row (the
+    masked_softmax all-zero convention) — both must match the
+    straightforward formulation, values and gradients."""
+    S, NH, HD, window, bs = 256, 4, 32, 32, 128
+    q, k, v, mask = _unsplit_data(S, NH, HD, seed=3)
+    mask_np = np.asarray(mask).copy()
+    mask_np[0, 0] = 0.0         # global key invalid on row 0
+    mask_np[1, :] = 0.0         # fully masked batch row
+    mask = jnp.asarray(mask_np)
+    do = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (B, S, NH * HD)).astype(np.float32))
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v) * do)
+
+    ref_fn = lambda q, k, v: _ref_banded(q, k, v, mask, NH, window, bs)
+    pl_fn = lambda q, k, v: banded_mhsa(q, k, v, mask, NH, window,
+                                        block_size=bs, interpret=True)
+    np.testing.assert_allclose(np.asarray(pl_fn(q, k, v)),
+                               np.asarray(ref_fn(q, k, v)),
+                               atol=1e-5, rtol=1e-5)
+    g_ref = jax.grad(lambda *a: loss(ref_fn, *a), argnums=(0, 1, 2))(q, k, v)
+    g_pl = jax.grad(lambda *a: loss(pl_fn, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ref, g_pl, "qkv"):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name}")
+
+
 def test_banded_mhsa_gradients_match_split_ref():
     S, NH, HD, window, bs = 256, 4, 32, 32, 128
     q, k, v, mask = _unsplit_data(S, NH, HD, seed=1)

@@ -224,3 +224,53 @@ def test_user_dedup_matches_live_path(tmp_path):
     np.testing.assert_array_equal(live[1], dedup[1])      # lengths
     np.testing.assert_allclose(live[2], dedup[2], atol=1e-6)  # scores
     np.testing.assert_array_equal(live[3], dedup[3])      # labels
+
+
+def test_banded_mhsa_routing(monkeypatch):
+    """Pin that the full-width banded kernel engages exactly when
+    intended (ADVICE round-4: the model-level condition set — S > 256,
+    self-attention, A == H, plan available, TPU backend — previously had
+    no direct test because CPU runs never take the branch)."""
+    from news_recommendation_mind_tpu.models import bert as bert_mod
+    from news_recommendation_mind_tpu.ops import pallas_attention as pa
+
+    monkeypatch.setattr(bert_mod, "_tpu_backend", lambda: True)
+    ok = bert_mod.use_banded_mhsa
+    assert ok("local", 32, 320, False, 768, 768, 12)
+    assert not ok("local", 32, 256, False, 768, 768, 12)   # S too short
+    assert not ok("full", 32, 320, False, 768, 768, 12)    # wrong type
+    assert not ok("local", 0, 320, False, 768, 768, 12)    # no window
+    assert not ok("local", 32, 320, True, 768, 768, 12)    # cross-attn
+    assert not ok("local", 32, 320, False, 384, 768, 12)   # A != H
+    assert not ok("local", 32, 320, False, 96, 96, 5)      # no lane plan
+    monkeypatch.setattr(bert_mod, "_tpu_backend", lambda: False)
+    assert not ok("local", 32, 320, False, 768, 768, 12)   # CPU backend
+
+    # integration: a longformer forward at S > 256 routes through the
+    # kernel (interpret mode on CPU) and matches the XLA path's values
+    cfg = bert_variant("longformer", vocab_size=VOCAB, num_layers=1
+                       ).replace(hidden_size=128, num_heads=4,
+                                 intermediate_size=128,
+                                 hidden_dropout=0.0, attention_dropout=0.0)
+    model = BertModel(cfg)
+    rng = np.random.default_rng(7)
+    S = 320
+    ids = jnp.asarray(rng.integers(1, VOCAB, (2, S)), jnp.int32)
+    mask = jnp.ones((2, S), jnp.float32)
+    params = model.init(KEY, ids, mask)
+    h_xla, _ = model.apply(params, ids, mask)      # backend False → XLA
+
+    monkeypatch.setattr(bert_mod, "_tpu_backend", lambda: True)
+    calls = []
+    real = pa.banded_mhsa
+
+    def spy(q, k, v, m, n_heads, window, block_size=128, interpret=False):
+        calls.append((q.shape, window))
+        return real(q, k, v, m, n_heads, window, block_size=block_size,
+                    interpret=True)
+
+    monkeypatch.setattr(pa, "banded_mhsa", spy)
+    h_kernel, _ = model.apply(params, ids, mask)
+    assert calls == [((2, S, 128), 32)]
+    np.testing.assert_allclose(np.asarray(h_kernel), np.asarray(h_xla),
+                               atol=2e-5, rtol=2e-5)
