@@ -148,8 +148,22 @@ class TrainLoader:
     def _dedupify(self, batch: Batch) -> Batch:
         """ids-only batch → + uniq_id [U_pad], cdd_pos/his_pos (see
         forward_from_unique). Padding id 0 maps extra rows to the pad
-        article; duplicate pad rows only add masked work."""
+        article; duplicate pad rows only add masked work.
+
+        Rides the native batcher's O(n) mark-array dedup when available
+        (dedup_batch in native/batcher.cpp; first-occurrence order) and
+        falls back to per-batch np.unique (sorted order). The orders
+        differ but both satisfy the contract uniq_id[cdd_pos] == cdd_id
+        (tests/test_dedup.py; tests/test_native_batcher.py pins the
+        native path against the numpy one)."""
         cdd, his = batch["cdd_id"], batch["his_id"]
+        if self._native is not None:
+            res = self._native.dedup_batch(cdd, his, self.u_pad,
+                                           self.u_quantum)
+            if res is not None:
+                out = dict(batch)
+                out["uniq_id"], out["cdd_pos"], out["his_pos"] = res
+                return out
         ids = np.concatenate([cdd.ravel(), his.ravel()])
         uniq, inv = np.unique(ids, return_inverse=True)
         if len(uniq) > self.u_pad:      # can't happen by construction

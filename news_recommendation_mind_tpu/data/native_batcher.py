@@ -76,6 +76,12 @@ def get_library():
     lib.batcher_destroy.argtypes = [ptr]
     lib.batcher_make_batch.argtypes = [ptr, ptr, i64, u64, i32, i32] \
         + [ptr] * 10
+    lib.dedup_create.restype = ptr
+    lib.dedup_create.argtypes = [i64]
+    lib.dedup_destroy.argtypes = [ptr]
+    lib.dedup_batch.restype = i64
+    lib.dedup_batch.argtypes = [ptr, ptr, i64, ptr, i64, i64, i64,
+                                ptr, ptr, ptr]
     _LIB = lib
     return _LIB
 
@@ -110,6 +116,7 @@ class NativeBatcher:
         self.his_size = his_ids.shape[1]
         self.sl = news_tokens.shape[1]
         self.npratio = npratio
+        self._dedup_ctx = None
         self._ctx = lib.batcher_create(
             _cptr(a["pos"]), _cptr(a["neg_flat"]), _cptr(a["neg_offsets"]),
             _cptr(a["his_ids"]), _cptr(a["his_mask"]), _cptr(a["uindex"]),
@@ -120,8 +127,32 @@ class NativeBatcher:
         try:
             if getattr(self, "_ctx", None):
                 self._lib.batcher_destroy(self._ctx)
+            if getattr(self, "_dedup_ctx", None):
+                self._lib.dedup_destroy(self._dedup_ctx)
         except Exception:
             pass
+
+    def dedup_batch(self, cdd_id: np.ndarray, his_id: np.ndarray,
+                    u_pad: int, u_quantum: int):
+        """First-occurrence unique of the batch's article ids + inverse
+        position maps (native O(n) mark-array; replaces per-batch
+        np.unique). Returns (uniq_pad [width], cdd_pos, his_pos) or
+        None on unique-count overflow (caller falls back)."""
+        if self._dedup_ctx is None:
+            n_news = self._arrays["news_tokens"].shape[0]
+            self._dedup_ctx = self._lib.dedup_create(n_news)
+        cdd = np.ascontiguousarray(cdd_id, np.int32)
+        his = np.ascontiguousarray(his_id, np.int32)
+        uniq_pad = np.empty(u_pad, np.int32)
+        cdd_pos = np.empty(cdd.shape, np.int32)
+        his_pos = np.empty(his.shape, np.int32)
+        width = self._lib.dedup_batch(
+            self._dedup_ctx, _cptr(cdd), cdd.size, _cptr(his), his.size,
+            u_pad, u_quantum, _cptr(uniq_pad), _cptr(cdd_pos),
+            _cptr(his_pos))
+        if width < 0:
+            return None
+        return uniq_pad[:width], cdd_pos, his_pos
 
     def make_batch(self, idx: np.ndarray, epoch: int,
                    shuffle_pos: bool = False,

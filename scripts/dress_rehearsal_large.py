@@ -322,11 +322,14 @@ def run_plm_family(steps):
            news=int(table_t.shape[0]) - 1)
 
 
-def run_xformer_leg(steps, eval_batches):
+def run_xformer_leg(steps, eval_batches, full_eval=False):
     """XFormer (longformer, S=1024) leg — the reference's long-context
     flagship (models/XFormer.py:78-99): live 1024-token user passes.
     Phase 2 runs a bounded slice of dev eval batches and extrapolates
-    (recorded explicitly as measured + extrapolation)."""
+    (recorded explicitly as measured + extrapolation); with
+    ``full_eval`` it ALSO runs the complete 377k-impression dev eval
+    end to end (unique-user sweep) and records the measured wall clock
+    + metrics — the round-4 VERDICT's missing #1."""
     from news_recommendation_mind_tpu.evaluation.engine import (
         _collect, encode_all_news, fast_eval_scores,
     )
@@ -387,6 +390,22 @@ def run_xformer_leg(steps, eval_batches):
                        len(g) for g in eval_loader.groups.values()), 1),
                total_batches=total_batches, **metrics)
 
+    if full_eval:
+        # the real thing, measured once end to end: every dev
+        # impression, unique-user sweep (engine default), flat metrics
+        t0 = time.perf_counter()
+        batches = fast_eval_scores(model, state.params, table,
+                                   eval_loader, dedup_users=True)
+        impr, lengths, fs, fl = _collect(batches)
+        glens, (gl, gp) = group_flat(impr, lengths, fl, fs)
+        metrics = cal_metric_flat(glens, gl, gp, cfg.metric_list)
+        dt = time.perf_counter() - t0
+        record("xformer_eval_phase2_FULL_dedup", dt,
+               batches=total_batches,
+               chunk_rows=sum(len(g)
+                              for g in eval_loader.groups.values()),
+               impressions=int(len(glens)), **metrics)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -395,6 +414,7 @@ def main():
     ap.add_argument("--plm-steps", type=int, default=300)
     ap.add_argument("--xformer-steps", type=int, default=60)
     ap.add_argument("--xformer-eval-batches", type=int, default=200)
+    ap.add_argument("--xformer-full-eval", action="store_true")
     ap.add_argument("--bm25-backend", default="native")
     args = ap.parse_args()
     want = (None if args.stages == "all"
@@ -426,7 +446,8 @@ def main():
     if on("plm"):
         run_plm_family(args.plm_steps)
     if on("xformer"):
-        run_xformer_leg(args.xformer_steps, args.xformer_eval_batches)
+        run_xformer_leg(args.xformer_steps, args.xformer_eval_batches,
+                        full_eval=args.xformer_full_eval)
     record("total", time.perf_counter() - t_all)
     print("# summary")
     for row in RESULTS:
