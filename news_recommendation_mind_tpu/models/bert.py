@@ -652,6 +652,31 @@ class _SelfAttention(nn.Module):
                 return short_mhsa(q, k, v, attn_mask, c.num_heads,
                                   p_drop=p_drop, dropout_rng=rng)
 
+        if c.attention_type == "bigbird" and kv is None and A == H:
+            # long-sequence fast path on UNSPLIT [B, S, H] q/k/v: the
+            # fused Pallas kernel executes the per-head pattern with
+            # zero gathers (k/v VMEM-resident; random blocks are
+            # dynamic 64-aligned slices) and no head split/merge
+            # transposes. The XLA gather realization below measured
+            # SLOWER than dense masked attention on the v5e (374 vs
+            # 280 ms/step — duplicated key movement + small matmuls);
+            # the kernel avoids both. Attention dropout is skipped here
+            # like the banded path. CPU/short sequences fall through.
+            import jax as _jax
+
+            from ..ops.pallas_attention import (
+                banded_mhsa_plan, bigbird_mhsa,
+            )
+            block = c.block_size or 64
+            if (S // block >= 8 and S % block == 0
+                    and _jax.default_backend() in ("tpu", "axon")
+                    and banded_mhsa_plan(S, H, c.num_heads) is not None):
+                pattern = _bigbird_block_pattern(
+                    S, block, c.num_random_blocks, c.num_heads,
+                    c.layer_seed)
+                return bigbird_mhsa(q, k, v, attn_mask, c.num_heads,
+                                    pattern, block)
+
         if use_banded_mhsa(c.attention_type, c.window, S, kv is not None,
                            A, H, c.num_heads):
             # long-sequence path on UNSPLIT [B, S, H] q/k/v: the

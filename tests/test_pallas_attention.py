@@ -160,3 +160,67 @@ def test_banded_mhsa_gradients_match_split_ref():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-4, rtol=2e-4,
                                    err_msg=f"d{name}")
+
+
+# ---- BigBird block-sparse kernel (round 5) ----
+
+from news_recommendation_mind_tpu.ops.pallas_attention import (  # noqa: E402
+    bigbird_mhsa,
+)
+from news_recommendation_mind_tpu.models.bert import (  # noqa: E402
+    _bigbird_block_pattern, masked_softmax,
+)
+
+
+def _ref_bigbird(q, k, v, mask, n_heads, pattern, block):
+    """Dense-mask formulation (models/bert.py's short-sequence branch)
+    on unsplit [B, S, H] inputs — what the kernel must match."""
+    Bq, S, Hh = q.shape
+    hd = Hh // n_heads
+    f = lambda t: t.reshape(Bq, S, n_heads, hd).transpose(0, 2, 1, 3)
+    qh, kh, vh = f(q), f(k), f(v)
+    pat = np.repeat(np.repeat(np.asarray(pattern, np.float32), block, 1),
+                    block, 2)[:, :S, :S]
+    m = jnp.asarray(pat)[None] * mask[:, None, None, :]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(
+        jnp.asarray(hd, q.dtype))
+    probs = masked_softmax(scores, m)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return out.transpose(0, 2, 1, 3).reshape(Bq, S, Hh)
+
+
+@pytest.mark.parametrize("S,NH,HD,block", [
+    (512, 4, 32, 64),     # two head groups of G=4
+    (512, 2, 64, 64),     # G=2
+    (500, 4, 32, 64),     # padded tail (S not a block multiple)
+])
+def test_bigbird_mhsa_matches_dense(S, NH, HD, block):
+    q, k, v, mask = _unsplit_data(S, NH, HD)
+    pattern = _bigbird_block_pattern(S, block, 2, NH, seed=5)
+    ref = _ref_bigbird(q, k, v, mask, NH, pattern, block)
+    out = bigbird_mhsa(q, k, v, mask, NH, pattern, block, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_bigbird_mhsa_gradients_match_dense():
+    S, NH, HD, block = 512, 4, 32, 64
+    q, k, v, mask = _unsplit_data(S, NH, HD, seed=9)
+    pattern = _bigbird_block_pattern(S, block, 2, NH, seed=6)
+    do = jnp.asarray(np.random.default_rng(10).standard_normal(
+        (B, S, NH * HD)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_bigbird(q, k, v, mask, NH, pattern, block)
+                       * do)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(bigbird_mhsa(q, k, v, mask, NH, pattern, block,
+                                    interpret=True) * do)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ref, g_pl, "qkv"):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name}")
