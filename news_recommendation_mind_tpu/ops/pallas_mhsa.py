@@ -81,6 +81,43 @@ def _keep_bits(shape, p_drop: float, seed_ref, cell, head, n_heads):
     return bits <= thresh
 
 
+def _stack_lanes(t: jnp.ndarray, G: int, hd: int) -> jnp.ndarray:
+    """[R, W] -> [G·R, W]: copy g keeps only head-group g's lanes (the
+    banded kernel's stacking recipe, ops/pallas_attention.py round 5):
+    ONE [G·R, ·] matmul replaces G per-group matmuls, and the backward's
+    per-group dK/dV contractions fuse into single matmuls. Measured
+    (v5e, U=2048/S=30 newsbert shapes, same session): standalone
+    fwd+bwd 6.26 -> 6.05 ms, full step 1,236 -> 1,259 ex/s (+1.8%);
+    cross-session chip-state drift is ~4%, so BASELINE.md records the
+    same-session pair."""
+    R, W = t.shape
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (G * R, W), 1) // hd
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (G * R, W), 0) // R
+    keep = (lane_g == row_g).astype(t.dtype)
+    return jnp.concatenate([t] * G, axis=0) * keep
+
+
+def _unstack_lanes(stk: jnp.ndarray, G: int, hd: int, R: int
+                   ) -> jnp.ndarray:
+    W = stk.shape[1]
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) // hd
+    o = jnp.zeros((R, W), jnp.float32)
+    for g in range(G):
+        lm = (lane_head == g).astype(jnp.float32)
+        o = o + stk[g * R:(g + 1) * R, :] * lm
+    return o
+
+
+def _keep_bits_stacked(R, G, p_drop, seed_ref, cell, n_heads):
+    """Per-group keep masks stacked [G·R, R] — the same per-(cell, head)
+    seeding/bit stream as the unstacked kernels (oracle-compatible;
+    scripts/validate_mhsa_tpu.py passes on this form)."""
+    return jnp.concatenate(
+        [_keep_bits((R, R), p_drop, seed_ref, cell,
+                    pl.program_id(1) * G + g, n_heads)
+         for g in range(G)], axis=0)
+
+
 def _fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref, *,
                 S: int, hd: int, G: int, n_heads: int, scale: float,
                 p_drop: float):
@@ -89,20 +126,17 @@ def _fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref, *,
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
     m = _block_masks(mask_ref[0, 0, :], R, S)
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) // hd
-    o = jnp.zeros((R, W), jnp.float32)
-    for g in range(G):
-        lm = (lane_head == g).astype(jnp.float32)
-        s = jax.lax.dot_general(q * lm, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        sig, p, _ = _softmax_p(s, m)
-        if p_drop > 0.0:
-            keep = _keep_bits((R, R), p_drop, seed_ref, pl.program_id(0),
-                              pl.program_id(1) * G + g, n_heads)
-            p = jnp.where(keep, p / (1.0 - p_drop), 0.0)
-        og = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        o = o + og * lm
-    o_ref[:] = o.astype(o_ref.dtype)
+    ms = jnp.concatenate([m] * G, axis=0)
+    qs = _stack_lanes(q, G, hd)
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    sig, p, _ = _softmax_p(s, ms)
+    if p_drop > 0.0:
+        keep = _keep_bits_stacked(R, G, p_drop, seed_ref,
+                                  pl.program_id(0), n_heads)
+        p = jnp.where(keep, p / (1.0 - p_drop), 0.0)
+    o_stk = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[:] = _unstack_lanes(o_stk, G, hd, R).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
@@ -115,42 +149,35 @@ def _bwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
     v = v_ref[:].astype(jnp.float32)
     do = do_ref[:].astype(jnp.float32)
     m = _block_masks(mask_ref[0, 0, :], R, S)
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) // hd
-    dq = jnp.zeros((R, W), jnp.float32)
-    dk = jnp.zeros((R, W), jnp.float32)
-    dv = jnp.zeros((R, W), jnp.float32)
-    for g in range(G):
-        lm = (lane_head == g).astype(jnp.float32)
-        qg = q * lm
-        do_g = do * lm
-        s = jax.lax.dot_general(qg, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        sig, p, mf = _softmax_p(s, m)
-        if p_drop > 0.0:
-            keep = _keep_bits((R, R), p_drop, seed_ref, pl.program_id(0),
-                              pl.program_id(1) * G + g, n_heads)
-            pd = jnp.where(keep, p / (1.0 - p_drop), 0.0)
-        else:
-            keep, pd = None, p
-        # out_g = (pd @ v)·lm
-        dv = dv + jax.lax.dot_general(
-            pd, do_g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dpd = jax.lax.dot_general(do_g, v, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        if keep is not None:
-            dp = jnp.where(keep, dpd / (1.0 - p_drop), 0.0)
-        else:
-            dp = dpd
-        # p = sig·m  ⇒  dσ = dp·m;  ds = σ⊙(dσ − Σ σ⊙dσ)
-        dsig = dp * mf
-        ds = sig * (dsig - jnp.sum(sig * dsig, axis=-1, keepdims=True))
-        dq = dq + jnp.dot(ds, k,
-                          preferred_element_type=jnp.float32) * scale * lm
-        dk = dk + jax.lax.dot_general(
-            ds, qg, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-    dq_ref[:] = dq.astype(dq_ref.dtype)
+    ms = jnp.concatenate([m] * G, axis=0)
+    qs = _stack_lanes(q, G, hd)
+    dos = _stack_lanes(do, G, hd)
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    sig, p, mf = _softmax_p(s, ms)
+    if p_drop > 0.0:
+        keep = _keep_bits_stacked(R, G, p_drop, seed_ref,
+                                  pl.program_id(0), n_heads)
+        pd = jnp.where(keep, p / (1.0 - p_drop), 0.0)
+    else:
+        keep, pd = None, p
+    # contracting over the G·R stacked rows sums the per-group outer
+    # products in one matmul each
+    dv = jax.lax.dot_general(pd, dos, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpd = jax.lax.dot_general(dos, v, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if keep is not None:
+        dp = jnp.where(keep, dpd / (1.0 - p_drop), 0.0)
+    else:
+        dp = dpd
+    # p = sig·m  ⇒  dσ = dp·m;  ds = σ⊙(dσ − Σ σ⊙dσ)
+    dsig = dp * mf
+    ds = sig * (dsig - jnp.sum(sig * dsig, axis=-1, keepdims=True))
+    dq_stk = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, qs, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[:] = _unstack_lanes(dq_stk, G, hd, R).astype(dq_ref.dtype)
     dk_ref[:] = dk.astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
