@@ -128,13 +128,17 @@ def bench_newsbert(jax, mesh) -> float:
     return BS * N / (time.perf_counter() - t0)
 
 
-def bench_xformer(jax, mesh) -> float:
-    """XFormer (longformer, S=1024) train-step throughput — the
-    long-context family (reference models/XFormer.py:78-99; window-32
-    local+global attention via the fused Pallas banded kernel,
-    ops/pallas_attention.py). bs=32, his 50×30 tokens concatenated to one
-    1024-token user pass + 5 candidate passes, bf16. Returns examples/s.
-    Round-1 anchor: 132 ex/s at identical shapes (BASELINE.md)."""
+def bench_xformer(jax, mesh, bert: str = "longformer",
+                  bs: int = 32) -> float:
+    """XFormer train-step throughput — the long-context family
+    (reference models/XFormer.py:78-99). ``longformer`` (S=1024,
+    window-32 local+global via the fused Pallas banded kernel) at
+    bs=32; ``bigbird`` (S=1024, block-sparse via the Pallas bigbird
+    kernel, round 5) at bs=16 (all bigbird realizations OOM at bs=32×12
+    layers without remat — BASELINE.md). his 50×30 tokens concatenated
+    to one 1024-token user pass + 5 candidate passes, bf16. Returns
+    examples/s. Anchors: longformer 132 ex/s (round 1); bigbird dense
+    57.2 ex/s (round 5 A/B)."""
     import jax.numpy as jnp
 
     from news_recommendation_mind_tpu.models.bert import (
@@ -145,8 +149,8 @@ def bench_xformer(jax, mesh) -> float:
         create_train_state, make_fused_optimizer, make_train_step,
     )
 
-    BS, CDD = 32, NPRATIO + 1
-    variant = bert_variant("longformer", vocab_size=VOCAB,
+    BS, CDD = bs, NPRATIO + 1
+    variant = bert_variant(bert, vocab_size=VOCAB,
                            signal_length=SIGNAL_LENGTH)
     model = XFormer(bert=BertModel(variant, dtype=jnp.bfloat16),
                     hidden_dim=variant.hidden_size,
@@ -270,6 +274,16 @@ def main() -> None:
           if BASELINE_EXAMPLES_PER_S else 1.0)
     nb = bench_newsbert(jax, mesh) / n_chips
     xf = bench_xformer(jax, mesh) / n_chips
+    extra = {}
+    try:
+        # the block-sparse flagship (round 5); guarded so a failure
+        # cannot take down the headline line
+        bb = bench_xformer(jax, mesh, bert="bigbird", bs=16) / n_chips
+        extra = {"xformer_bigbird_examples_per_s_per_chip": round(bb, 1),
+                 # round-5 dense-path A/B anchor: 57.2 ex/s
+                 "xformer_bigbird_vs_dense": round(bb / 57.2, 3)}
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "train_examples_per_s_per_chip",
         "value": round(per_chip, 1),
@@ -283,6 +297,7 @@ def main() -> None:
         # anchor: 132 ex/s at the same S=1024 longformer shapes)
         "xformer_examples_per_s_per_chip": round(xf, 1),
         "xformer_vs_r1": round(xf / 132.0, 3),
+        **extra,
     }))
 
 

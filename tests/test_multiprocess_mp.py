@@ -99,6 +99,13 @@ if pidx == 0:
     with open(os.path.join(root, "losses.json"), "w") as f:
         json.dump(losses, f)
 print("process", pidx, "cross-process mp losses", losses)
+# align both workers before interpreter exit: under heavy host load the
+# completion skew between workers can exceed the coordination service's
+# shutdown-barrier timeout (observed once with a device benchmark
+# saturating both cores during the suite), which turns a clean finish
+# into a DEADLINE_EXCEEDED shutdown failure
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("worker_done")
 faulthandler.cancel_dump_traceback_later()
 """
 
