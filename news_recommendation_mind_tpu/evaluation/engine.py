@@ -157,8 +157,8 @@ def _gather_to_host0(impr, lengths, flat_scores, flat_labels):
 
 
 def encode_unique_users(model, params, eval_loader,
-                        with_user_id: bool = True
-                        ) -> Tuple[np.ndarray, np.ndarray]:
+                        with_user_id: bool = True,
+                        min_dup_fraction: float = 0.1):
     """Phase 1.5 (one-tower models): encode each distinct user once.
 
     In MIND a user's click history is fixed across all of their
@@ -177,7 +177,14 @@ def encode_unique_users(model, params, eval_loader,
 
     Returns ``(user_table [U, H] float32, uidx_of_row [n_rows] int64)``
     where ``uidx_of_row[j]`` maps a behavior row to its table slot
-    (-1 for rows outside this process's shard partition).
+    (-1 for rows outside this process's shard partition) — or ``None``
+    when fewer than ``min_dup_fraction`` of the shard's rows are
+    duplicates: with (near-)all-unique users the sweep saves no passes
+    and its fixed costs make it a net ~20% LOSS (measured on the
+    MIND-large-shape rehearsal corpus, whose 377k dev impressions draw
+    from 870k users — BASELINE.md round-5); the caller then uses the
+    live per-chunk path. The duplicate-fraction check is one cheap host
+    ``np.unique`` over the row keys.
     """
     his_ids = eval_loader.his_ids
     his_mask = eval_loader.his_mask
@@ -193,6 +200,8 @@ def encode_unique_users(model, params, eval_loader,
     _, first, inverse = np.unique(key, axis=0, return_index=True,
                                   return_inverse=True)
     uniq_rows = rows[first]                      # [U] behavior row ids
+    if len(rows) and 1.0 - len(uniq_rows) / len(rows) < min_dup_fraction:
+        return None
     uidx_of_row = np.full(len(his_ids), -1, np.int64)
     uidx_of_row[rows] = inverse.reshape(-1)
 
@@ -201,7 +210,14 @@ def encode_unique_users(model, params, eval_loader,
         return model.apply(params, his_token, his_attn, his_mask, user_id,
                            method=type(model).encode_user)[:, 0, :]
 
-    bs = eval_loader.batch_size
+    # sweep at a larger batch than the scoring loader's: the unique-user
+    # encodes are forward-only (no optimizer state, no backward
+    # residuals), so memory allows 4× the train batch, and at bs=32 the
+    # MIND-large sweep was dispatch-bound (259 rows/s measured vs ~457/s
+    # device capability — BASELINE.md round-5 full-eval run). Values are
+    # row-independent, so batch size cannot change results (pinned by
+    # tests/test_plm_xformer.py::test_user_dedup_matches_live_path).
+    bs = max(eval_loader.batch_size, 128)
     tokens, attn = eval_loader.news_tokens, eval_loader.news_attn
     out = []
     for s in range(0, len(uniq_rows), bs):
@@ -238,9 +254,13 @@ def fast_eval_scores(model, params, news_table: np.ndarray, eval_loader,
     use_user_table = ((not user_from_table) and dedup_users
                       and hasattr(eval_loader, "groups"))
     if use_user_table:
-        user_np, uidx_of_row = encode_unique_users(
-            model, params, eval_loader, with_user_id)
-        user_table = jax.device_put(jnp.asarray(user_np))
+        res = encode_unique_users(model, params, eval_loader,
+                                  with_user_id)
+        if res is None:          # (near-)all-unique users: live path wins
+            use_user_table = False
+        else:
+            user_np, uidx_of_row = res
+            user_table = jax.device_put(jnp.asarray(user_np))
 
     def make_fn():
         def fn(params, table, cdd_id, user_inputs, user_id):

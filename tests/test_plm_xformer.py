@@ -274,3 +274,55 @@ def test_banded_mhsa_routing(monkeypatch):
     assert calls == [((2, S, 128), 32)]
     np.testing.assert_allclose(np.asarray(h_kernel), np.asarray(h_xla),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_user_dedup_adaptive_fallback():
+    """Round-5 adaptive policy: with (near-)all-unique users the dedup
+    sweep saves no passes and its fixed costs make it a measured net
+    loss (BASELINE.md round-5 rehearsal), so encode_unique_users bails
+    (None) below min_dup_fraction and fast_eval_scores silently uses
+    the live path — with identical results either way."""
+    import os
+    from news_recommendation_mind_tpu.evaluation import engine
+    from news_recommendation_mind_tpu.evaluation.engine import (
+        _collect, encode_all_news, encode_unique_users, fast_eval_scores)
+    from news_recommendation_mind_tpu.experiment import (
+        build_data, build_eval_loaders, build_train_loader)
+
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    cfg = _family_cfg(
+        "xformer", "bert",
+        scale="synthetic", data_root=os.path.join(tmp, "data"),
+        cache_root=os.path.join(tmp, "cache"),
+        batch_size=8, device_gather=False, mesh_shape=(1,))
+    data = build_data(cfg)
+    model = build_model(cfg, data.vocab_size, data.user_num)
+    loader = build_train_loader(cfg, data)
+    params = model.init(KEY, next(iter(loader)))
+    news_loader, eval_loader = build_eval_loaders(cfg, data)
+    hidden = getattr(model, "hidden_dim", cfg.hidden_dim)
+    table = encode_all_news(model, params, news_loader, hidden)
+
+    # this fixture HAS duplicates: an impossible dup requirement forces
+    # the bail-out
+    assert encode_unique_users(model, params, eval_loader,
+                               min_dup_fraction=1.01) is None
+    # the default threshold keeps the table path on this fixture
+    assert encode_unique_users(model, params, eval_loader) is not None
+
+    # routing under bail-out still yields the exact live results
+    calls = []
+    real = engine.encode_unique_users
+    engine.encode_unique_users = (
+        lambda *a, **kw: calls.append(1) or None)
+    try:
+        dedup = _collect(fast_eval_scores(model, params, table,
+                                          eval_loader, dedup_users=True))
+    finally:
+        engine.encode_unique_users = real
+    assert calls, "dedup path did not consult encode_unique_users"
+    live = _collect(fast_eval_scores(model, params, table, eval_loader,
+                                     dedup_users=False))
+    np.testing.assert_array_equal(live[0], dedup[0])
+    np.testing.assert_allclose(live[2], dedup[2], atol=1e-6)
