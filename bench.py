@@ -282,8 +282,9 @@ def main() -> None:
         extra = {"xformer_bigbird_examples_per_s_per_chip": round(bb, 1),
                  # round-5 dense-path A/B anchor: 57.2 ex/s
                  "xformer_bigbird_vs_dense": round(bb / 57.2, 3)}
-    except Exception:
-        pass
+    except Exception as e:
+        import sys
+        print(f"# bigbird bench leg failed: {e!r}", file=sys.stderr)
     print(json.dumps({
         "metric": "train_examples_per_s_per_chip",
         "value": round(per_chip, 1),

@@ -210,11 +210,11 @@ def encode_unique_users(model, params, eval_loader,
         return model.apply(params, his_token, his_attn, his_mask, user_id,
                            method=type(model).encode_user)[:, 0, :]
 
-    # sweep at a larger batch than the scoring loader's: the unique-user
-    # encodes are forward-only (no optimizer state, no backward
-    # residuals), so memory allows 4× the train batch, and at bs=32 the
-    # MIND-large sweep was dispatch-bound (259 rows/s measured vs ~457/s
-    # device capability — BASELINE.md round-5 full-eval run). Values are
+    # sweep at a floor of 128 rows/batch (>= the scoring loader's):
+    # the unique-user encodes are forward-only (no optimizer state, no
+    # backward residuals) so the larger batch fits easily, and at bs=32
+    # the MIND-large sweep was dispatch-bound (259 rows/s measured vs
+    # ~457/s device capability — BASELINE.md round-5). Values are
     # row-independent, so batch size cannot change results (pinned by
     # tests/test_plm_xformer.py::test_user_dedup_matches_live_path).
     bs = max(eval_loader.batch_size, 128)

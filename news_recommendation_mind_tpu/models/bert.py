@@ -662,14 +662,11 @@ class _SelfAttention(nn.Module):
             # 280 ms/step — duplicated key movement + small matmuls);
             # the kernel avoids both. Attention dropout is skipped here
             # like the banded path. CPU/short sequences fall through.
-            import jax as _jax
-
             from ..ops.pallas_attention import (
                 banded_mhsa_plan, bigbird_mhsa,
             )
             block = c.block_size or 64
-            if (S // block >= 8 and S % block == 0
-                    and _jax.default_backend() in ("tpu", "axon")
+            if (S // block >= 8 and S % block == 0 and _tpu_backend()
                     and banded_mhsa_plan(S, H, c.num_heads) is not None):
                 pattern = _bigbird_block_pattern(
                     S, block, c.num_random_blocks, c.num_heads,
@@ -703,10 +700,14 @@ class _SelfAttention(nn.Module):
                                              c.num_heads, c.layer_seed)
             drop = nn.Dropout(c.attention_dropout,
                               deterministic=deterministic)
-            if pattern.shape[1] >= 8:
-                # long-sequence regime: the pattern is actually sparse
-                # (NSEL·block ≪ S) — gather each query block's key
-                # blocks instead of materializing [B, nh, S, S] scores
+            if pattern.shape[1] >= 8 and not _tpu_backend():
+                # long-sequence regime OFF-TPU: gather each query
+                # block's key blocks instead of materializing
+                # [B, nh, S, S] scores (no S² memory on CPU). On TPU
+                # this realization measured SLOWER than dense (374 vs
+                # 280 ms/step — BASELINE.md round 5), so a TPU config
+                # that misses the kernel guard above (odd S, A != H,
+                # unplannable heads) takes the dense branch below
                 out = bigbird_block_sparse_attention(
                     q, k, v, attn_mask, pattern, block, prob_dropout=drop)
                 return out.transpose(0, 2, 1, 3).reshape(B, S, H)

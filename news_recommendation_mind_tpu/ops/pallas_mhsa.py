@@ -81,31 +81,15 @@ def _keep_bits(shape, p_drop: float, seed_ref, cell, head, n_heads):
     return bits <= thresh
 
 
-def _stack_lanes(t: jnp.ndarray, G: int, hd: int) -> jnp.ndarray:
-    """[R, W] -> [G·R, W]: copy g keeps only head-group g's lanes (the
-    banded kernel's stacking recipe, ops/pallas_attention.py round 5):
-    ONE [G·R, ·] matmul replaces G per-group matmuls, and the backward's
-    per-group dK/dV contractions fuse into single matmuls. Measured
-    (v5e, U=2048/S=30 newsbert shapes, same session): standalone
-    fwd+bwd 6.26 -> 6.05 ms, full step 1,236 -> 1,259 ex/s (+1.8%);
-    cross-session chip-state drift is ~4%, so BASELINE.md records the
-    same-session pair."""
-    R, W = t.shape
-    lane_g = jax.lax.broadcasted_iota(jnp.int32, (G * R, W), 1) // hd
-    row_g = jax.lax.broadcasted_iota(jnp.int32, (G * R, W), 0) // R
-    keep = (lane_g == row_g).astype(t.dtype)
-    return jnp.concatenate([t] * G, axis=0) * keep
+# lane-stacking helpers shared with the banded kernel (round 5)
+from .pallas_attention import (  # noqa: E402
+    _stack_groups as _stack_lanes,
+    _unstack_groups as _unstack_lanes_impl,
+)
 
 
-def _unstack_lanes(stk: jnp.ndarray, G: int, hd: int, R: int
-                   ) -> jnp.ndarray:
-    W = stk.shape[1]
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1) // hd
-    o = jnp.zeros((R, W), jnp.float32)
-    for g in range(G):
-        lm = (lane_head == g).astype(jnp.float32)
-        o = o + stk[g * R:(g + 1) * R, :] * lm
-    return o
+def _unstack_lanes(stk, G, hd, R):
+    return _unstack_lanes_impl(stk, G, hd, R)
 
 
 def _keep_bits_stacked(R, G, p_drop, seed_ref, cell, n_heads):

@@ -192,6 +192,7 @@ def test_two_process_eval_matches_single(tmp_path):
         [sys.executable, worker_path, coord, str(i), root],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
+    outs = ["<no output captured: worker timed out>"] * len(procs)
     try:
         # guard bound: this is a HANG detector, not a latency bound.
         # Warm-cache runs finish in ~2-5 min, but the FIRST run after

@@ -133,6 +133,7 @@ def test_two_process_model_parallel(tmp_path):
         [sys.executable, worker_path, coord, str(i), root],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
+    outs = ["<no output captured: worker timed out>"] * len(procs)
     try:
         # hang detector, not a latency bound (cold compiles on half of a
         # 2-core host are legitimately slow; see test_multiprocess.py)

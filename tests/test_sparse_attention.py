@@ -365,3 +365,60 @@ def test_bigbird_model_routes_sparse_by_length(monkeypatch):
     h30, _ = model.apply(params30, ids30, mask30)
     assert calls == []                    # nb=1 → dense branch
     assert np.isfinite(np.asarray(h30)).all()
+
+
+def test_bigbird_kernel_routing(monkeypatch):
+    """Pin when the Pallas bigbird kernel engages (round-5 review
+    finding): TPU backend + >=8 blocks + block-multiple S + plannable
+    heads -> bigbird_mhsa; on TPU WITHOUT the kernel the dense branch
+    must run (the XLA gather path measured slower than dense there);
+    off-TPU long-S keeps the gather path (no S^2 memory)."""
+    from news_recommendation_mind_tpu.models import bert as bert_mod
+    from news_recommendation_mind_tpu.ops import pallas_attention as pa
+
+    kernel_calls, gather_calls = [], []
+    real_kernel = pa.bigbird_mhsa
+    real_gather = bert_mod.bigbird_block_sparse_attention
+
+    def kernel_spy(q, k, v, m, n_heads, pattern, block, interpret=False):
+        kernel_calls.append(q.shape)
+        return real_kernel(q, k, v, m, n_heads, pattern, block,
+                           interpret=True)
+
+    def gather_spy(*a, **kw):
+        gather_calls.append(a[0].shape)
+        return real_gather(*a, **kw)
+
+    monkeypatch.setattr(pa, "bigbird_mhsa", kernel_spy)
+    monkeypatch.setattr(bert_mod, "bigbird_block_sparse_attention",
+                        gather_spy)
+    cfg = bert_variant("bigbird", vocab_size=97, num_layers=1).replace(
+        hidden_size=128, num_heads=2, intermediate_size=64,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    model = BertModel(cfg)
+    rng = np.random.default_rng(1)
+    S = 512
+    ids = jnp.asarray(rng.integers(1, 97, (2, S)), jnp.int32)
+    mask = jnp.ones((2, S), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    h_cpu, _ = model.apply(params, ids, mask)   # off-TPU -> gather path
+    assert gather_calls and not kernel_calls
+    gather_calls.clear()
+
+    monkeypatch.setattr(bert_mod, "_tpu_backend", lambda: True)
+    h_tpu, _ = model.apply(params, ids, mask)   # TPU -> kernel
+    assert kernel_calls == [(2, S, 128)] and not gather_calls
+    np.testing.assert_allclose(np.asarray(h_tpu), np.asarray(h_cpu),
+                               atol=2e-5, rtol=2e-5)
+
+    # TPU but unplannable (hd=48 doesn't tile 128-lane groups and
+    # H > 128): dense branch, NOT the gather path
+    kernel_calls.clear()
+    cfg2 = cfg.replace(hidden_size=144, num_heads=3, intermediate_size=64)
+    model2 = BertModel(cfg2)
+    ids2 = jnp.asarray(rng.integers(1, 97, (1, S)), jnp.int32)
+    mask2 = jnp.ones((1, S), jnp.float32)
+    params2 = model2.init(jax.random.PRNGKey(0), ids2, mask2)
+    h2, _ = model2.apply(params2, ids2, mask2)
+    assert not kernel_calls and not gather_calls
+    assert np.isfinite(np.asarray(h2)).all()
